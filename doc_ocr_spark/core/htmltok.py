@@ -1,0 +1,192 @@
+"""From-scratch HTML tokenizer -> lightweight DOM block array.
+
+Replaces the reference's OCR token producers (paddle_ocr.py:121-226,
+hunyuan_ocr.py:120-147 produce flat positioned-token lists); for HTML
+payloads the analogous atomic unit is a *text block*: a run of visible
+text delimited by block-level tags, annotated with tag, nesting depth,
+word counts and link-word counts so the boilerplate classifier
+(boilerplate.py) can score it.
+
+Implementation is stdlib ``html.parser`` only (no lxml/bs4 in the target
+environment — and "from scratch" is the point).  Deterministic: the block
+list depends only on the input bytes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags whose entire subtree is invisible — the analogue of the reference's
+# table-line suppression (preprocess.py:207-241): structure that must never
+# contribute to content statistics.
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "iframe", "head",
+     "object", "embed", "title", "meta", "link", "base"}
+)
+
+# Tags that terminate the current text block when opened or closed.
+_BLOCK_TAGS = frozenset(
+    {"address", "article", "aside", "blockquote", "body", "br", "caption",
+     "dd", "details", "div", "dl", "dt", "fieldset", "figcaption", "figure",
+     "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
+     "html", "legend", "li", "main", "nav", "ol", "option", "p", "pre",
+     "section", "select", "summary", "table", "tbody", "td", "tfoot", "th",
+     "thead", "tr", "ul"}
+)
+
+# void elements never pushed on the open-tag stack
+_VOID_TAGS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr"}
+)
+
+# semantic ancestors recorded on each block so the classifier can
+# down-weight navigation chrome
+_CHROME_TAGS = frozenset({"nav", "header", "footer", "aside"})
+
+
+@dataclass
+class Block:
+    """One visible text block (SURVEY.md §1.4 'Lightweight DOM')."""
+
+    tag: str                 # nearest enclosing block-level tag
+    depth: int               # DOM nesting depth at block start
+    text: str                # whitespace-collapsed visible text
+    n_words: int = 0
+    n_link_words: int = 0
+    in_chrome: bool = False  # under nav/header/footer/aside
+    is_heading: bool = False
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_words / self.n_words if self.n_words else 0.0
+
+
+@dataclass
+class _ParserState:
+    blocks: list[Block] = field(default_factory=list)
+    parts: list[str] = field(default_factory=list)
+    link_words: int = 0
+    cur_tag: str = "body"
+    cur_depth: int = 0
+    chrome_depth: int = 0
+    anchor_depth: int = 0
+    skip_depth: int = 0
+
+
+class _BlockParser(HTMLParser):
+    """Event-driven block builder.
+
+    Mirrors the regex-cursor scanning pattern of the reference's VLM output
+    parser (hunyuan_ocr.py:128-146): a single forward pass with explicit
+    state, never backtracking.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.st = _ParserState()
+        self._stack: list[str] = []
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        st = self.st
+        raw = " ".join("".join(st.parts).split())
+        st.parts = []
+        link_words = st.link_words
+        st.link_words = 0
+        if not raw:
+            return
+        words = raw.split()
+        st.blocks.append(
+            Block(
+                tag=st.cur_tag,
+                depth=st.cur_depth,
+                text=raw,
+                n_words=len(words),
+                n_link_words=min(link_words, len(words)),
+                in_chrome=st.chrome_depth > 0,
+                is_heading=st.cur_tag in ("h1", "h2", "h3", "h4", "h5", "h6"),
+            )
+        )
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        st = self.st
+        if tag in _SKIP_TAGS:
+            if tag not in _VOID_TAGS:
+                st.skip_depth += 1
+                self._stack.append(tag)
+            return
+        if st.skip_depth:
+            if tag not in _VOID_TAGS:
+                self._stack.append(tag)
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            st.cur_tag = tag
+            st.cur_depth = len(self._stack)
+        if tag in _CHROME_TAGS:
+            st.chrome_depth += 1
+        if tag == "a":
+            st.anchor_depth += 1
+        if tag not in _VOID_TAGS:
+            self._stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        st = self.st
+        # pop to matching open tag (tolerant of misnesting)
+        if tag in self._stack:
+            while self._stack:
+                popped = self._stack.pop()
+                if popped in _SKIP_TAGS:
+                    st.skip_depth = max(0, st.skip_depth - 1)
+                if popped in _CHROME_TAGS:
+                    st.chrome_depth = max(0, st.chrome_depth - 1)
+                if popped == "a":
+                    st.anchor_depth = max(0, st.anchor_depth - 1)
+                if popped == tag:
+                    break
+        if st.skip_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            st.cur_tag = self._nearest_block_tag()
+            st.cur_depth = len(self._stack)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in ("br", "hr"):
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        st = self.st
+        if st.skip_depth or not data:
+            return
+        st.parts.append(data)
+        if st.anchor_depth:
+            st.link_words += len(data.split())
+
+    def _nearest_block_tag(self) -> str:
+        for t in reversed(self._stack):
+            if t in _BLOCK_TAGS:
+                return t
+        return "body"
+
+
+def tokenize_html(html: str) -> list[Block]:
+    """Parse HTML text into an ordered list of visible text blocks.
+
+    Tolerant of malformed markup (stdlib parser never raises on bad
+    nesting); raises only on catastrophic parser errors, which the caller
+    maps to the ``parse_error`` taxonomy row (never a thrown task).
+    """
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return p.st.blocks
+
+
+def decode_html(payload: bytes) -> str:
+    """bytes -> str; UTF-8 with replacement (corpus rule: never throw)."""
+    return payload.decode("utf-8", errors="replace")

@@ -1,0 +1,234 @@
+"""Layout analysis over positioned tokens (the PDF-like payload path).
+
+Re-expresses the reference's geometric core for reading-order
+reconstruction (SURVEY.md §2.5):
+
+- ``cluster_lines``   L1 (text_normalize.py:91-111) — greedy y-clustering
+  with a *running pairwise mean* centroid.  Order-dependent by design; the
+  kernel always feeds it tokens sorted by (page, y_center), so the result
+  is deterministic regardless of Spark partitioning.
+- ``merge_tokens``    L3 (text_normalize.py:131-159) — x-gap adjacency
+  fold with bbox union.
+- ``line_text``       L4 — x-ordered concatenation.
+- ``page_bounds``     L5, ``region_filter`` L6.
+- ``detect_columns`` / ``reading_order_text`` — the column-order
+  reconstruction the north_star asks for (the HTML-era analogue of the
+  reference's perspective correction P4: geometry fix-up with a
+  confidence gate, else no-op).
+
+Pure Python; dataclasses only (numpy not needed at per-document sizes —
+documents have 10^2-10^4 tokens; vectorization happens at the Arrow batch
+level, not inside one document).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from doc_ocr_spark.core.tokens import Token
+
+
+@dataclass
+class Line:
+    """~ reference Line (text_normalize.py:68-75)."""
+
+    items: list[Token]
+    y_center: float
+    page: int
+
+    def sorted_items(self) -> list[Token]:
+        return sorted(self.items, key=lambda t: t.x1)
+
+
+def cluster_lines(tokens: list[Token], y_tol: float = 5.0) -> list[Line]:
+    """L1 — greedy reading-line clustering.
+
+    Sort by (page, y_center); scan; each token joins the nearest *recent*
+    line on the same page within ``y_tol`` of the line's centroid,
+    scanning existing lines newest-first and stopping at a page change.
+    Joining updates the centroid as a running pairwise mean
+    ``(old + new) / 2`` — exactly the reference's order-dependent
+    semantics (text_normalize.py:110), kept because golden byte-identity
+    is defined over it.
+    """
+    lines: list[Line] = []
+    for tok in sorted(tokens, key=lambda t: (t.page, t.y_center, t.x1)):
+        target: Line | None = None
+        for line in reversed(lines):
+            if line.page != tok.page:
+                break
+            if abs(line.y_center - tok.y_center) <= y_tol:
+                target = line
+                break
+        if target is None:
+            lines.append(Line(items=[tok], y_center=tok.y_center, page=tok.page))
+        else:
+            target.items.append(tok)
+            target.y_center = (target.y_center + tok.y_center) / 2.0
+    return lines
+
+
+def merge_tokens(
+    tokens: list[Token],
+    max_x_gap: float = 6.0,
+    merge_single_char: bool = False,
+) -> list[Token]:
+    """L3 — x-sorted adjacency fold.
+
+    Merge ``next`` into ``prev`` iff ``next.x1 - prev.x2 <= max_x_gap``
+    and (when ``merge_single_char``) one side is a single character.
+    Merged bbox is the union; merged text is direct concatenation (no
+    separator) — the split-anchor repair (`合` + `计` -> `合计`).
+    """
+    ordered = sorted(tokens, key=lambda t: t.x1)
+    out: list[Token] = []
+    for tok in ordered:
+        if out:
+            prev = out[-1]
+            gap = tok.x1 - prev.x2
+            size_ok = (not merge_single_char) or (
+                len(prev.text) <= 1 or len(tok.text) <= 1
+            )
+            if gap <= max_x_gap and size_ok and tok.page == prev.page:
+                out[-1] = Token(
+                    text=prev.text + tok.text,
+                    x1=min(prev.x1, tok.x1),
+                    y1=min(prev.y1, tok.y1),
+                    x2=max(prev.x2, tok.x2),
+                    y2=max(prev.y2, tok.y2),
+                    page=prev.page,
+                )
+                continue
+        out.append(tok)
+    return out
+
+
+def line_text(line: Line, sep: str = " ") -> str:
+    """L4 — concatenate token texts in x order."""
+    return sep.join(t.text for t in line.sorted_items())
+
+
+def page_bounds(tokens: list[Token]) -> tuple[float, float]:
+    """L5 — (max x2, max y2) with floor 1.0."""
+    if not tokens:
+        return (1.0, 1.0)
+    return (
+        max(1.0, max(t.x2 for t in tokens)),
+        max(1.0, max(t.y2 for t in tokens)),
+    )
+
+
+def region_filter(
+    tokens: list[Token],
+    region: tuple[float, float, float, float],
+    bounds: tuple[float, float],
+    y_offset: float = 0.0,
+) -> list[Token]:
+    """L6 — keep tokens whose bbox *center* lies inside the region.
+
+    ``region`` is normalized [0..1]^2 (rx1, ry1, rx2, ry2); scaled by the
+    page bounds, optionally shifted in y (``relative_to: title_line``).
+    """
+    w, h = bounds
+    ax1, ay1, ax2, ay2 = (
+        region[0] * w,
+        region[1] * h + y_offset,
+        region[2] * w,
+        region[3] * h + y_offset,
+    )
+    return [
+        t
+        for t in tokens
+        if ax1 <= t.x_center <= ax2 and ay1 <= t.y_center <= ay2
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Column-order reconstruction (multi-column reading order)
+
+
+@dataclass
+class ColumnSplit:
+    boundaries: list[float] = field(default_factory=list)  # x cut points
+
+    @property
+    def n_columns(self) -> int:
+        return len(self.boundaries) + 1
+
+    def column_of(self, t: Token) -> int:
+        c = 0
+        for b in self.boundaries:
+            if t.x_center >= b:
+                c += 1
+        return c
+
+
+def detect_columns(
+    tokens: list[Token],
+    min_gap: float = 24.0,
+    min_coverage: float = 0.65,
+) -> ColumnSplit:
+    """Find vertical whitespace gutters splitting a page into columns.
+
+    Confidence-gated like the reference's perspective correction
+    (preprocess.py:258-309: apply only when the quad is trustworthy, else
+    no-op): a gutter must be at least ``min_gap`` wide and free of tokens
+    for at least ``min_coverage`` of the page height, else the page is
+    treated as single-column.
+
+    Algorithm: project token x-intervals, sweep the sorted interval ends
+    for maximal empty gaps, then for each candidate gap check vertical
+    coverage (fraction of the page height where the gap stays empty).
+    """
+    if len(tokens) < 4:
+        return ColumnSplit()
+    xs = sorted((t.x1, t.x2) for t in tokens)
+    page_h = max(t.y2 for t in tokens) - min(t.y1 for t in tokens)
+    if page_h <= 0:
+        return ColumnSplit()
+    x_left = min(t.x1 for t in tokens)
+    x_right = max(t.x2 for t in tokens)
+    # sweep merged x-intervals for gaps
+    gaps: list[tuple[float, float]] = []
+    cur_end = xs[0][1]
+    for a, b in xs[1:]:
+        if a > cur_end + min_gap:
+            gaps.append((cur_end, a))
+        cur_end = max(cur_end, b)
+    boundaries: list[float] = []
+    for g1, g2 in gaps:
+        if g1 <= x_left or g2 >= x_right:
+            continue
+        mid = (g1 + g2) / 2.0
+        # vertical coverage: rows of tokens straddling the gutter midline
+        straddle = [t for t in tokens if t.x1 < mid < t.x2]
+        covered = 1.0 - (
+            sum(t.y2 - t.y1 for t in straddle) / page_h if straddle else 0.0
+        )
+        if covered >= min_coverage:
+            boundaries.append(mid)
+    return ColumnSplit(boundaries=boundaries)
+
+
+def reading_order_lines(
+    tokens: list[Token],
+    y_tol: float = 5.0,
+    max_x_gap: float = 6.0,
+) -> list[Line]:
+    """Full reading-order reconstruction for one document.
+
+    Per page: detect columns; within each column (left to right) cluster
+    lines top-to-bottom; within each line merge adjacent tokens.  Returns
+    lines in final reading order.
+    """
+    out: list[Line] = []
+    pages = sorted({t.page for t in tokens})
+    for page in pages:
+        page_toks = [t for t in tokens if t.page == page]
+        split = detect_columns(page_toks)
+        for col in range(split.n_columns):
+            col_toks = [t for t in page_toks if split.column_of(t) == col]
+            for line in cluster_lines(col_toks, y_tol=y_tol):
+                line.items = merge_tokens(line.items, max_x_gap=max_x_gap)
+                out.append(line)
+    return out

@@ -1,0 +1,142 @@
+"""The batch extraction job: read -> salted repartition -> Arrow kernel
+-> write output + per-partition lineage; checkpoint/resume.
+
+Launchable via ``spark-submit --py-files doc_ocr_spark.zip job.py`` or
+``python -m doc_ocr_spark.job`` (north_rule: spark-submit --py-files on a
+multi-executor cluster).
+
+Partitioning / resume protocol (SURVEY.md §3.5):
+
+- every row gets ``part_bucket = pmod(xxhash64(url), n_buckets)`` — a
+  stable, data-independent salt of the url, so bucket membership never
+  changes between runs (the precondition for resume)
+- output is written ``partitionBy(part_bucket)`` in append mode
+- after a successful write, one lineage row per bucket (doc_count,
+  bytes_in, bytes_out, extractor_version, wall_ms) is appended to
+  ``<output>/_lineage``
+- ``--resume`` anti-joins pending buckets against committed lineage and
+  processes only the remainder — a failed run never recomputes finished
+  buckets
+
+Iceberg note: the sandbox has no Iceberg runtime jar; the layout above
+(bucketed partition column + lineage-as-manifest) is the parquet
+transcription of an Iceberg ``PARTITIONED BY (bucket(N, url))`` table +
+snapshot metadata, and ``read_corpus`` in sources/corpus.py tries the
+Iceberg catalog first when one is configured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.core.extractor import KERNEL_VERSION
+from doc_ocr_spark.kernel import apply_kernel
+
+
+def lineage_path(output: str) -> str:
+    return os.path.join(output, "_lineage")
+
+
+def completed_buckets(spark: SparkSession, output: str) -> list[int]:
+    """Buckets already committed to lineage (empty on first run)."""
+    try:
+        ldf = spark.read.parquet(lineage_path(output))
+    except Exception:
+        return []
+    return [r.part_bucket for r in ldf.select("part_bucket").distinct().collect()]
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "part_bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output: str,
+    n_buckets: int = 64,
+    resume: bool = False,
+    templates: list[dict] | None = None,
+) -> dict:
+    """Returns run metrics (docs, bytes, wall seconds, buckets run)."""
+    t0 = time.monotonic()
+    corpus = spark.read.parquet(input_path)
+    corpus = with_bucket(corpus.select("url", "html"), n_buckets)
+
+    done = set(completed_buckets(spark, output)) if resume else set()
+    if done:
+        corpus = corpus.filter(~F.col("part_bucket").isin([int(b) for b in done]))
+
+    # salted exchange: one shuffle, keyed by the stable url-hash bucket.
+    # At cluster scale n_buckets >> executors so stragglers interleave;
+    # giant blobs are bounded per Arrow batch inside the kernel.
+    repartitioned = corpus.repartition(n_buckets, "part_bucket")
+
+    extracted = apply_kernel(repartitioned, templates)
+    # reattach the bucket for partitioned output (stable function of url,
+    # so this is a projection, not a join)
+    extracted = with_bucket(extracted, n_buckets)
+
+    extracted.write.mode("append").partitionBy("part_bucket").parquet(output)
+
+    # lineage from the committed files (written only after a successful
+    # output commit -> checkpoint semantics)
+    out_df = spark.read.parquet(output)
+    if done:
+        out_df = out_df.filter(~F.col("part_bucket").isin([int(b) for b in done]))
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    lineage = (
+        out_df.groupBy("part_bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.length("extracted_text")).alias("bytes_out"),
+        )
+        .withColumn("extractor_version", F.lit(KERNEL_VERSION))
+        .withColumn("wall_ms", F.lit(wall_ms))
+    )
+    lineage.write.mode("append").parquet(lineage_path(output))
+
+    stats = lineage.agg(
+        F.sum("doc_count").alias("docs"), F.sum("bytes_in").alias("bytes")
+    ).collect()[0]
+    return {
+        "docs": stats.docs or 0,
+        "bytes": stats.bytes or 0,
+        "wall_s": wall_ms / 1000.0,
+        "buckets_run": n_buckets - len(done),
+        "resumed": bool(done),
+    }
+
+
+def main() -> None:
+    from doc_ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    spark = get_spark("doc_ocr_spark.job", master=args.master)
+    m = run_extraction(
+        spark, args.input, args.output, n_buckets=args.buckets, resume=args.resume
+    )
+    rate = m["docs"] / m["wall_s"] if m["wall_s"] else 0.0
+    print(
+        f"extracted {m['docs']} docs ({m['bytes']} bytes) in {m['wall_s']:.1f}s "
+        f"= {rate:.1f} docs/s over {m['buckets_run']} buckets"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Distributed-vs-golden byte-identity + checkpoint/resume protocol."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.datagen import write_corpus_parquet
+from doc_ocr_spark.golden import compare_to_golden, golden_rows
+from doc_ocr_spark.job import completed_buckets, run_extraction
+from doc_ocr_spark.kernel import apply_kernel
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("corpus") / "pages.parquet"
+    write_corpus_parquet(str(p), N_DOCS, seed=42)
+    return str(p)
+
+
+def _rows(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def test_kernel_matches_golden_bytewise(spark, corpus_path):
+    golden = golden_rows(N_DOCS, seed=42)
+    df = spark.read.parquet(corpus_path)
+    out = _rows(apply_kernel(df.repartition(7)))
+    assert compare_to_golden(out, golden) == []
+
+
+def test_kernel_partitioning_invariance(spark, corpus_path):
+    """Same result regardless of partition count / input order
+    (SURVEY.md §5.2.4 determinism gate)."""
+    df = spark.read.parquet(corpus_path)
+    a = _rows(apply_kernel(df.repartition(2)))
+    b = _rows(apply_kernel(df.orderBy(F.rand(seed=1)).repartition(13)))
+    assert compare_to_golden(a, b) == []
+
+
+def test_job_end_to_end_with_lineage(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "out")
+    m = run_extraction(spark, corpus_path, out, n_buckets=8)
+    assert m["docs"] == N_DOCS
+    result = spark.read.parquet(out)
+    assert result.count() == N_DOCS
+    # lineage: one row per bucket, stats add up
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    assert lin.count() == 8
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == N_DOCS
+    assert set(completed_buckets(spark, out)) == set(range(8))
+    # golden identity straight off the committed table
+    assert compare_to_golden(_rows(result.drop("part_bucket", "bytes_in", "extractor_version")), golden_rows(N_DOCS)) == []
+
+
+def test_job_resume_skips_completed_buckets(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "out2")
+    run_extraction(spark, corpus_path, out, n_buckets=8)
+    before = spark.read.parquet(out).count()
+    m = run_extraction(spark, corpus_path, out, n_buckets=8, resume=True)
+    assert m["resumed"] is True
+    assert m["docs"] == 0  # nothing left to do
+    assert spark.read.parquet(out).count() == before  # no duplicates
+
+
+def test_job_resume_processes_only_pending(spark, corpus_path, tmp_path):
+    """Simulate a mid-run failure: first run covers half the buckets."""
+    out = str(tmp_path / "out3")
+    df = spark.read.parquet(corpus_path)
+    # restrict first run to buckets 0-3 by filtering the input on the
+    # same stable hash the job uses
+    from doc_ocr_spark.job import with_bucket
+
+    half = with_bucket(df, 8).filter(F.col("part_bucket") < 4).drop("part_bucket")
+    half_path = str(tmp_path / "half.parquet")
+    half.write.parquet(half_path)
+    run_extraction(spark, half_path, out, n_buckets=8)
+    done = set(completed_buckets(spark, out))
+    assert done and done.issubset(set(range(8)))
+    m = run_extraction(spark, corpus_path, out, n_buckets=8, resume=True)
+    assert spark.read.parquet(out).count() == N_DOCS
+    assert compare_to_golden(
+        _rows(
+            spark.read.parquet(out).drop("part_bucket", "bytes_in", "extractor_version")
+        ),
+        golden_rows(N_DOCS),
+    ) == []
