@@ -1,0 +1,284 @@
+"""Deduplication operators over the ``documents`` table.
+
+The training-data-pipeline family: exact hash dedup, n-gram Jaccard
+near-dup, MinHash(+LSH bucketing), SimHash, winnowing fingerprints.
+Spark side stays entirely JVM-side (split / explode / md5 / window — no
+Python UDFs); MinHash signatures are lexicographic minima of md5 hex
+strings, which both Spark and DuckDB compute identically (no engine-
+specific hash functions anywhere).
+
+Scale notes (100 TB design point):
+- the shingle inverted index is the shuffle-heavy step; it shuffles
+  (doc_id, shingle) pairs hashed by shingle — uniform by construction
+- LSH candidate generation joins on (band, signature), which bounds the
+  candidate pair set; the full O(n^2) Jaccard join exists only as the
+  small-scale oracle-checkable baseline
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.operators import load
+
+N_MINHASH = 8
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word 3-gram shingles per doc (docs with <3 words drop
+    out, mirrored by the oracle's empty range)."""
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words),
+shingles AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keeper = min doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing >=1 shingle."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup baseline: full inverted-index join + Jaccard filter."""
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    return _jaccard_pairs(sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup (the scale path): signature_k =
+    min(md5(k || ':' || shingle)) — lexicographic min over hex strings,
+    engine-portable; candidates share >=1 of the {N_MINHASH} signature
+    bands (r=1); candidates are then verified with true Jaccard.
+
+    At corpus scale the verify join touches only candidate pairs, never
+    the full cross product.
+    """
+    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"sig{k}")
+        for k in range(N_MINHASH)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_cols)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("band"), F.col(f"sig{k}").alias("h"))
+                for k in range(N_MINHASH)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _jaccard_pairs(sh).join(cand, ["doc_a", "doc_b"])
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{k}:' || s)) AS sig{k}" for k in range(N_MINHASH))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {k} AS band, sig{k} AS h FROM sigs" for k in range(N_MINHASH))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+FROM inter i
+JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON i.doc_a = za.doc_id JOIN sizes zb ON i.doc_b = zb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_bit_exprs() -> list[str]:
+    """16 signed bit-sum expressions from the first 4 md5 hex nibbles of
+    each token (portable: md5 + instr + integer arithmetic only)."""
+    exprs = []
+    for bit in range(16):
+        k, r = bit // 4, bit % 4
+        nib = f"(instr('0123456789abcdef', substr(md5(word), {k + 1}, 1)) - 1)"
+        exprs.append(
+            f"sum((CAST(floor({nib} / {2 ** r}) AS INT) % 2) * 2 - 1) AS b{bit}"
+        )
+    return exprs
+
+
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit demo width): sign of per-bit weighted sums over
+    token hashes; tokens weighted by multiplicity."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    sums = words.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _simhash_bit_exprs()]
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN b{bit} > 0 THEN {2 ** bit} ELSE 0 END)" for bit in range(16)
+    )
+    return sums.select("doc_id", F.expr(f"{hash_expr} AS simhash"))
+
+
+SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+sums AS (
+  SELECT doc_id, {", ".join(_simhash_bit_exprs())}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id,
+  {" + ".join(f"(CASE WHEN b{bit} > 0 THEN {2 ** bit} ELSE 0 END)" for bit in range(16))} AS simhash
+FROM sums
+"""
+
+
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over 8-char shingles sampled at
+    stride 4 (rolling-hash winnowing, deterministic)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)), F.lit(4)
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.md5(F.expr("substr(text, i, 8)")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
+    )
+
+
+FINGERPRINT_SQL = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS i
+  FROM documents
+)
+SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
+FROM pos GROUP BY doc_id
+"""
+
+ORACLES = {
+    "dedup_exact": EXACT_SQL,
+    "ngram_jaccard_pairs": JACCARD_SQL,
+    "minhash_lsh_pairs": MINHASH_SQL,
+    "simhash16": SIMHASH_SQL,
+    "fingerprint_winnow": FINGERPRINT_SQL,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash16": simhash16,
+    "fingerprint_winnow": fingerprint_winnow,
+}

@@ -1,0 +1,177 @@
+"""Sessionization / block-grouping / range-join re-expressions.
+
+These are the relational forms of the reference's order-dependent layout
+operators (SURVEY.md §2.5), demonstrated over the ``events`` stream
+table:
+
+- L1/L3 (line clustering / gap merge)   -> gap-based sessionization
+- L16 (row-group state machine)         -> running-count block ids
+- L10 (right-neighbour geometric search)-> bounded range self-join + top-1
+
+All orderings carry a total tie-break (ts, event_id); time arithmetic is
+on floor-epoch-seconds so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from doc_ocr_spark.operators import load
+
+DEC = "decimal(18,4)"
+SESSION_GAP_S = 300
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (L1's y-gap clustering over time):
+    a new session opens when the gap to the previous event of the same
+    user exceeds SESSION_GAP_S.  session id = running count of session
+    openers — the standard lag -> flag -> cumulative-sum idiom."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp("ts")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(order) > SESSION_GAP_S, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "new_session",
+        F.when(F.lag("ts_s").over(order).isNull(), 1).otherwise(
+            F.col("new_session")
+        ),
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sid = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
+         WHEN ts_s - lag(ts_s) OVER w > {SESSION_GAP_S} THEN 1
+         ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_s) AS start_s, max(ts_s) AS end_s,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM sid GROUP BY user_id, session_id
+"""
+
+
+def running_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16 block grouping: a block opens at each anchor event
+    ('signup'); block id = running count of anchors (the
+    `sum(cast(is_anchor as int)) over (order by y)` idiom from
+    SURVEY.md §2.5 L16).  Block 0 = rows before the first anchor."""
+    e = load(spark, sf_dir, "events")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_block = e.withColumn(
+        "block_id",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(run),
+    )
+    return with_block.groupBy("user_id", "block_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+        F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("sum_value"),
+    )
+
+
+BLOCKS_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, event_type, value,
+    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+  FROM events
+)
+SELECT user_id, block_id, count(*) AS n_events,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM b GROUP BY user_id, block_id
+"""
+
+
+def next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 right-neighbour search as a bounded range self-join: for each
+    click, the nearest following purchase by the same user within 600 s
+    (band predicate + min-by, exactly the reference's x-gap band +
+    leftmost-candidate rule, invoice_rule_extractor.py:574-599)."""
+    e = load(spark, sf_dir, "events").withColumn("ts_s", F.unix_timestamp("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_s").alias("click_s"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_s").alias("buy_s"),
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("u") == F.col("u2"))
+        & (F.col("buy_s") - F.col("click_s") >= 1)
+        & (F.col("buy_s") - F.col("click_s") <= 600),
+    )
+    w = Window.partitionBy("click_id").orderBy("buy_s", "purchase_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "purchase_id",
+            (F.col("buy_s") - F.col("click_s")).alias("gap_s"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), j AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+         p.ts_s - c.ts_s AS gap_s,
+         row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts_s, p.event_id) AS rn
+  FROM e c JOIN e p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts_s - c.ts_s BETWEEN 1 AND 600
+)
+SELECT click_id, purchase_id, gap_s FROM j WHERE rn = 1
+"""
+
+ORACLES = {
+    "sessionize_events": SESSIONIZE_SQL,
+    "running_blocks": BLOCKS_SQL,
+    "next_purchase_after_click": RANGE_JOIN_SQL,
+}
+
+QUERIES = {
+    "sessionize_events": sessionize_events,
+    "running_blocks": running_blocks,
+    "next_purchase_after_click": next_purchase_after_click,
+}

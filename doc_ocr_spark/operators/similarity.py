@@ -1,0 +1,202 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Parity discipline: dot products are summed as DECIMAL(38,18) over
+per-element double products (exact, order-independent), so Spark and
+DuckDB agree bit-for-bit before the final rounding.  The Spark side
+uses only built-in expressions (explode + hash agg) — no Python.
+
+- ``ann_cosine_topk``   brute-force cosine top-k (the correctness
+  baseline; O(q x n), broadcast the query set)
+- ``ann_ivf_bucketed``  IVF-style bucket assignment (the scale path:
+  each vector is routed to its nearest centroid; at 100 TB the top-k
+  search then touches one bucket instead of the full corpus)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from doc_ocr_spark.operators import load
+
+DIM = 64
+N_QUERIES = 8       # vec_id < 8 are the query vectors
+N_CENTROIDS = 10    # vec_id < 10 act as IVF centroids
+TOP_K = 5
+
+_DEC = "decimal(38,18)"
+
+
+def _norms(emb: DataFrame) -> DataFrame:
+    """(vec_id, nrm) — sqrt of the exact-decimal sum of squares."""
+    expl = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"),
+        "embedding",
+    ).select(
+        "vec_id",
+        (
+            F.element_at("embedding", F.col("i")).cast("double")
+            * F.element_at("embedding", F.col("i")).cast("double")
+        )
+        .cast(_DEC)
+        .alias("sq"),
+    )
+    return expl.groupBy("vec_id").agg(
+        F.sqrt(F.sum("sq").cast("double")).alias("nrm")
+    )
+
+
+def _sims(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cosine sims for the cross product left x right (left is small and
+    broadcast).  Columns: qid, cid, sim (rounded 6dp)."""
+    l = left.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    r = right.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = r.crossJoin(F.broadcast(l)).filter(F.col("qid") != F.col("cid"))
+    dots = (
+        pairs.select(
+            "qid",
+            "cid",
+            "qn",
+            "cn",
+            F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"),
+            "qe",
+            "ce",
+        )
+        .select(
+            "qid",
+            "cid",
+            "qn",
+            "cn",
+            (
+                F.element_at("qe", F.col("i")).cast("double")
+                * F.element_at("ce", F.col("i")).cast("double")
+            )
+            .cast(_DEC)
+            .alias("p"),
+        )
+        .groupBy("qid", "cid", "qn", "cn")
+        .agg(F.sum("p").alias("dot"))
+    )
+    return dots.select(
+        "qid",
+        "cid",
+        F.round(
+            F.col("dot").cast("double") / (F.col("qn") * F.col("cn")), 6
+        ).alias("sim"),
+    )
+
+
+def _emb_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.join(_norms(emb), "vec_id")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first N_QUERIES vectors."""
+    emb = _emb_with_norms(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    sims = _sims(q, emb)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "sim", "rank")
+    )
+
+
+_NORMS_CTE = f"""
+expl AS (
+  SELECT vec_id, embedding, unnest(generate_series(1, {DIM})) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+  FROM expl GROUP BY vec_id
+),
+emb AS (SELECT e.vec_id, e.embedding, n.nrm FROM embeddings e JOIN norms n USING (vec_id))
+"""
+
+
+def _sims_sql(left_filter: str) -> str:
+    return f"""
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce,
+         q.nrm AS qn, c.nrm AS cn
+  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id {left_filter}
+),
+pexpl AS (
+  SELECT qid, cid, qn, cn, qe, ce, unnest(generate_series(1, {DIM})) AS i
+  FROM pairs
+),
+dots AS (
+  SELECT qid, cid, qn, cn,
+         sum(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18))) AS dot
+  FROM pexpl GROUP BY qid, cid, qn, cn
+),
+sims AS (
+  SELECT qid, cid, round(CAST(dot AS DOUBLE) / (qn * cn), 6) AS sim
+  FROM dots
+)
+"""
+
+
+TOPK_SQL = f"""
+WITH {_NORMS_CTE}, {_sims_sql(f"< {N_QUERIES}")}
+SELECT qid, cid, sim, rank FROM (
+  SELECT qid, cid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+  FROM sims
+) WHERE rank <= {TOP_K}
+"""
+
+
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment: route every vector to its max-cosine centroid
+    (centroids = vec_id < N_CENTROIDS; deterministic stand-in for a
+    k-means fit, which would be seeded at corpus scale)."""
+    emb = _emb_with_norms(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    sims = _sims(cents, emb)
+    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("qid").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(
+            F.col("cid").alias("vec_id"),
+            F.col("qid").alias("bucket"),
+            F.col("sim"),
+        )
+    )
+
+
+IVF_SQL = f"""
+WITH {_NORMS_CTE}, {_sims_sql(f"< {N_CENTROIDS}")}
+SELECT cid AS vec_id, qid AS bucket, sim FROM (
+  SELECT qid, cid, sim,
+         row_number() OVER (PARTITION BY cid ORDER BY sim DESC, qid) AS rank
+  FROM sims
+) WHERE rank = 1
+"""
+
+ORACLES = {
+    "ann_cosine_topk": TOPK_SQL,
+    "ann_ivf_bucketed": IVF_SQL,
+}
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_bucketed": ann_ivf_bucketed,
+}

@@ -1,0 +1,129 @@
+"""Text-analysis operators: language ID, quality scoring, token counts.
+
+All expressions are engine-portable (regex + length arithmetic; double
+division with explicit casts) and stay JVM-side in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.operators import load
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish token regex: letter runs, digit runs, single punctuation
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class + stopword heuristic language ID."""
+    docs = load(spark, sf_dir, "documents")
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[Ѐ-ӿ]"), "ru")
+        .when(F.col("text").rlike("[؀-ۿ]"), "ar")
+        .when(
+            F.size(
+                F.filter(
+                    F.split("text", " "), lambda w: w.isin(list(STOPWORDS))
+                )
+            )
+            > 0,
+            "en",
+        )
+        .otherwise("und")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+LANG_SQL = f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+    WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+    WHEN regexp_matches(text, '[\\x{{0600}}-\\x{{06ff}}]') THEN 'ar'
+    WHEN len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) > 0 THEN 'en'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / alpha-ratio quality heuristic.
+
+    All three components are computed as DOUBLE with identical operation
+    order in both engines, then rounded once at the end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_stop = F.size(
+        F.filter(F.split("text", " "), lambda w: w.isin(list(STOPWORDS)))
+    )
+    n_chars = F.length("text")
+    n_alpha = n_chars - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))
+    stop_ratio = n_stop.cast("double") / n_words
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    quality = (
+        F.least(n_words, F.lit(100)).cast("double") / 100 * 0.4
+        + stop_ratio * 0.3
+        + alpha_ratio * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_words,
+  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS stop_ratio,
+  round(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100 * 0.4
+      + CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) AS DOUBLE)
+        / len(string_split(text, ' ')) * 0.3
+      + CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) * 0.3, 6) AS quality
+FROM documents
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+TOKEN_SQL = f"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), ' +')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens
+FROM documents
+"""
+
+ORACLES = {
+    "lang_id": LANG_SQL,
+    "quality_score": QUALITY_SQL,
+    "token_count": TOKEN_SQL,
+}
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+}
