@@ -1,0 +1,169 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+- ``extract_corpus``: the north-rule metric — the full extraction
+  pipeline (salted repartition -> Arrow kernel -> parquet write) over a
+  deterministic synthetic corpus sized to the SF; reports docs/sec and
+  bytes/sec alongside wall seconds.
+- operator queries from __spark_entry__ (forced with a noop write so
+  nothing is collected to the driver).
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <sf>,
+         "extract_docs_per_sec": ..., "extract_bytes_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# headline operator queries (subset of __spark_entry__.queries())
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "running_total_per_customer",
+    "sessionize_events",
+    "running_blocks",
+    "next_purchase_after_click",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash16",
+    "fingerprint_winnow",
+    "token_count",
+    "quality_score",
+    "ann_cosine_topk",
+    "ann_ivf_bucketed",
+    "extract_html_docs",
+]
+
+# synthetic extraction corpus size per SF (docs)
+_CORPUS_DOCS = {"0.001": 500, "0.01": 4000, "0.1": 20000}
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def corpus_path(n_docs: int, seed: int = 42) -> str:
+    """Cache the generated corpus parquet across runs (generation is
+    driver-side Python and would otherwise dominate the measurement)."""
+    path = f"/tmp/doc_ocr_spark_bench/corpus_n{n_docs}_s{seed}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from doc_ocr_spark.datagen import write_corpus_parquet
+
+        write_corpus_parquet(path, n_docs, seed=seed)
+    return path
+
+
+def warm_up(spark) -> None:
+    """Amortize one-time costs before measuring: python-worker daemon
+    fork + module imports (first mapInArrow stage) and whole-stage
+    codegen compilation (first agg)."""
+    from pyspark.sql import functions as F
+
+    from doc_ocr_spark.kernel import apply_kernel
+
+    small = corpus_path(500)
+    apply_kernel(spark.read.parquet(small).select("url", "html")).count()
+    spark.range(1000).groupBy((F.col("id") % 7).alias("k")).agg(
+        F.sum(F.col("id").cast("decimal(18,4)"))
+    ).write.format("noop").mode("overwrite").save()
+
+
+def bench_extraction(spark, n_docs: int, out_dir: str) -> dict:
+    """Time the end-to-end extraction job body (no lineage read-back —
+    that is resume bookkeeping, not throughput)."""
+    from pyspark.sql import functions as F
+
+    from doc_ocr_spark.job import with_bucket
+    from doc_ocr_spark.kernel import apply_kernel
+
+    src = corpus_path(n_docs)
+    t0 = time.monotonic()
+    corpus = with_bucket(
+        spark.read.parquet(src).select("url", "html"), 64
+    ).repartition(64, "part_bucket")
+    extracted = apply_kernel(corpus)
+    extracted.write.mode("overwrite").parquet(out_dir)
+    wall = time.monotonic() - t0
+    stats = spark.read.parquet(out_dir).agg(
+        F.count("*").alias("docs"), F.sum("bytes_in").alias("bytes")
+    ).collect()[0]
+    return {
+        "sec": wall,
+        "docs": stats.docs,
+        "bytes": stats.bytes,
+        "docs_per_sec": stats.docs / wall,
+        "bytes_per_sec": (stats.bytes or 0) / wall,
+    }
+
+
+def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
+    from doc_ocr_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        "doc_ocr_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    queries = entrymod.queries()
+    times: dict[str, float] = {}
+
+    warm_up(spark)
+    n_docs = _CORPUS_DOCS.get(sf, 2000)
+    ext = bench_extraction(spark, n_docs, f"/tmp/doc_ocr_spark_bench/out_{cpus}")
+    times["extract_corpus"] = round(ext["sec"], 3)
+
+    cold: dict[str, float] = {}
+    if include_operators:
+        # two passes per query: the first run pays whole-stage-codegen
+        # JIT compilation (at 100 TB this amortizes to zero — queries
+        # run for minutes, not seconds), so the steady-state (2nd) time
+        # is the comparable number; cold times are reported alongside.
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            cold[name] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            times[name] = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "headline suite wall time, steady-state (extraction job + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_cold": cold,
+        "sf": float(sf),
+        "cpus": cpus,
+        "extract_docs": ext["docs"],
+        "extract_docs_per_sec": round(ext["docs_per_sec"], 1),
+        "extract_bytes_per_sec": round(ext["bytes_per_sec"], 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

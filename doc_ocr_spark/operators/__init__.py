@@ -12,8 +12,37 @@ driver's order-insensitive value-hash comparison is exact:
 - timestamps are returned as epoch seconds (BIGINT)
 """
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def scaled_long(c: Column, scale: float) -> Column:
+    """Exact, order-independent sum discipline: fix-point the per-row
+    double as ``floor(x * scale)`` (a LONG) before aggregating.
+
+    Long sums are exact and order-independent like decimals, but stay on
+    whole-stage codegen's primitive fast path — Spark's Decimal sum drops
+    to BigDecimal object arithmetic per row, which runs ~20x slower until
+    C2 JIT-compiles the generated loop (observed: a 600k-row decimal Q1
+    spending 60s interpreted after an unrelated Python stage congested
+    the compiler queue).  ``floor`` (not cast) because Spark truncates
+    toward zero while DuckDB rounds half-even; floor is identical in
+    both engines.
+    """
+    return F.floor(c * F.lit(scale))
+
+
+def scaled_sum(c: Column, scale: float, digits: int) -> Column:
+    """round(cast(sum(floor(c*scale)) as double) / scale, digits)."""
+    return F.round(
+        F.sum(scaled_long(c, scale)).cast("double") / F.lit(scale), digits
+    )
+
+
+def scaled_sum_sql(expr: str, scale: str, digits: int) -> str:
+    """The DuckDB-side mirror of ``scaled_sum``."""
+    return f"round(CAST(sum(CAST(floor(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}, {digits})"

@@ -4,6 +4,10 @@ These are the relational demos of the reference's implicit operators
 (SURVEY.md §2.7): hash aggregation, broadcast joins, window top-1/argmax
 (L7), min-by (L9), running aggregates.  Spark side is pure DataFrame API
 (whole-stage codegen, no Python in the hot path).
+
+Money sums use the scaled-long discipline (operators/__init__.py):
+exact + order-independent like decimals, but on codegen's primitive
+fast path.
 """
 
 from __future__ import annotations
@@ -12,43 +16,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from doc_ocr_spark.operators import load
+from doc_ocr_spark.operators import load, scaled_long, scaled_sum, scaled_sum_sql
 
-DEC = "decimal(18,4)"
-DEC6 = "decimal(18,6)"
+_S = 1000000.0  # 1e-6 fix-point for money/quantity sums
+_S_SQL = "1000000.0"
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary: hash agg with exact decimal sums."""
+    """TPC-H Q1-style pricing summary (map-side partial agg + exchange
+    on the two group keys; fully codegen)."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast(DEC6)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    qty_scaled = F.sum(scaled_long(F.col("l_quantity"), _S))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(qty_scaled.cast("double") / _S, 2).alias("sum_qty"),
+            scaled_sum(F.col("l_extendedprice"), _S, 2).alias("sum_base_price"),
+            scaled_sum(disc_price, _S, 2).alias("sum_disc_price"),
+            scaled_sum(charge, _S, 2).alias("sum_charge"),
             F.round(
-                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                qty_scaled.cast("double") / _S / F.count(F.lit(1)), 6
             ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-  CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(floor(l_quantity * {_S_SQL}) AS BIGINT)) AS DOUBLE) / {_S_SQL}, 2) AS sum_qty,
+  {scaled_sum_sql("l_extendedprice", _S_SQL, 2)} AS sum_base_price,
+  {scaled_sum_sql("l_extendedprice * (1 - l_discount)", _S_SQL, 2)} AS sum_disc_price,
+  {scaled_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", _S_SQL, 2)} AS sum_charge,
+  round(CAST(sum(CAST(floor(l_quantity * {_S_SQL}) AS BIGINT)) AS DOUBLE) / {_S_SQL} / count(*), 6) AS avg_qty,
   count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -108,7 +110,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -116,15 +118,15 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            scaled_sum(rev, _S, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-REVENUE_SQL = """
+REVENUE_SQL = f"""
 SELECT r_name, n_name,
-  CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+  {scaled_sum_sql("l_extendedprice * (1 - l_discount)", _S_SQL, 2)} AS revenue,
   count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -147,17 +149,19 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
-        .cast("double")
-        .alias("running_total"),
+        F.round(
+            F.sum(scaled_long(F.col("o_totalprice"), _S)).over(w).cast("double")
+            / _S,
+            2,
+        ).alias("running_total"),
     )
 
 
-RUNNING_SQL = """
+RUNNING_SQL = f"""
 SELECT o_custkey, o_orderkey,
-  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+  round(CAST(sum(CAST(floor(o_totalprice * {_S_SQL}) AS BIGINT)) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / {_S_SQL}, 2) AS running_total
 FROM orders
 """
 

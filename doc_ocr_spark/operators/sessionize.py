@@ -18,9 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from doc_ocr_spark.operators import load
+from doc_ocr_spark.operators import load, scaled_long
 
-DEC = "decimal(18,4)"
+_S = 1000000.0
+_S_SQL = "1000000.0"
 SESSION_GAP_S = 300
 
 
@@ -50,7 +51,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts_s").alias("start_s"),
         F.max("ts_s").alias("end_s"),
-        F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("sum_value"),
+        F.round(
+            F.sum(scaled_long(F.col("value"), _S)).cast("double") / _S, 4
+        ).alias("sum_value"),
     )
 
 
@@ -72,7 +75,7 @@ WITH e AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_s) AS start_s, max(ts_s) AS end_s,
-       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+       round(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_value
 FROM sid GROUP BY user_id, session_id
 """
 
@@ -95,7 +98,9 @@ def running_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_block.groupBy("user_id", "block_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
-        F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double").alias("sum_value"),
+        F.round(
+            F.sum(scaled_long(F.col("value"), _S)).cast("double") / _S, 4
+        ).alias("sum_value"),
     )
 
 
@@ -109,7 +114,7 @@ WITH b AS (
 )
 SELECT user_id, block_id, count(*) AS n_events,
   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+  round(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_value
 FROM b GROUP BY user_id, block_id
 """
 

@@ -1,9 +1,11 @@
 """Similarity search over the ``embeddings`` table (array<float>, 64-d).
 
-Parity discipline: dot products are summed as DECIMAL(38,18) over
-per-element double products (exact, order-independent), so Spark and
-DuckDB agree bit-for-bit before the final rounding.  The Spark side
-uses only built-in expressions (explode + hash agg) — no Python.
+Parity discipline: dot products are summed as scaled longs
+(``floor(p * 1e12)`` per element product — exact, order-independent,
+and on codegen's primitive fast path; see operators/__init__.py for why
+not DECIMAL), so Spark and DuckDB agree bit-for-bit before the final
+6-dp rounding (error bound 64e-12 << 1e-6).  The Spark side uses only
+built-in expressions (explode + hash agg) — no Python.
 
 - ``ann_cosine_topk``   brute-force cosine top-k (the correctness
   baseline; O(q x n), broadcast the query set)
@@ -18,14 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from doc_ocr_spark.operators import load
+from doc_ocr_spark.operators import load, scaled_long
 
 DIM = 64
 N_QUERIES = 8       # vec_id < 8 are the query vectors
 N_CENTROIDS = 10    # vec_id < 10 act as IVF centroids
 TOP_K = 5
 
-_DEC = "decimal(38,18)"
+_S = 1e12  # fix-point scale for per-element products (|p| < 1e3)
+_S_SQL = "1000000000000.0"
 
 
 def _norms(emb: DataFrame) -> DataFrame:
@@ -36,15 +39,14 @@ def _norms(emb: DataFrame) -> DataFrame:
         "embedding",
     ).select(
         "vec_id",
-        (
+        scaled_long(
             F.element_at("embedding", F.col("i")).cast("double")
-            * F.element_at("embedding", F.col("i")).cast("double")
-        )
-        .cast(_DEC)
-        .alias("sq"),
+            * F.element_at("embedding", F.col("i")).cast("double"),
+            _S,
+        ).alias("sq"),
     )
     return expl.groupBy("vec_id").agg(
-        F.sqrt(F.sum("sq").cast("double")).alias("nrm")
+        F.sqrt(F.sum("sq").cast("double") / _S).alias("nrm")
     )
 
 
@@ -77,12 +79,11 @@ def _sims(left: DataFrame, right: DataFrame) -> DataFrame:
             "cid",
             "qn",
             "cn",
-            (
+            scaled_long(
                 F.element_at("qe", F.col("i")).cast("double")
-                * F.element_at("ce", F.col("i")).cast("double")
-            )
-            .cast(_DEC)
-            .alias("p"),
+                * F.element_at("ce", F.col("i")).cast("double"),
+                _S,
+            ).alias("p"),
         )
         .groupBy("qid", "cid", "qn", "cn")
         .agg(F.sum("p").alias("dot"))
@@ -91,7 +92,7 @@ def _sims(left: DataFrame, right: DataFrame) -> DataFrame:
         "qid",
         "cid",
         F.round(
-            F.col("dot").cast("double") / (F.col("qn") * F.col("cn")), 6
+            (F.col("dot").cast("double") / _S) / (F.col("qn") * F.col("cn")), 6
         ).alias("sim"),
     )
 
@@ -121,8 +122,8 @@ expl AS (
 ),
 norms AS (
   SELECT vec_id,
-         sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-                            AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         sqrt(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                            * {_S_SQL}) AS BIGINT)) AS DOUBLE) / {_S_SQL}) AS nrm
   FROM expl GROUP BY vec_id
 ),
 emb AS (SELECT e.vec_id, e.embedding, n.nrm FROM embeddings e JOIN norms n USING (vec_id))
@@ -143,11 +144,11 @@ pexpl AS (
 ),
 dots AS (
   SELECT qid, cid, qn, cn,
-         sum(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,18))) AS dot
+         sum(CAST(floor(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * {_S_SQL}) AS BIGINT)) AS dot
   FROM pexpl GROUP BY qid, cid, qn, cn
 ),
 sims AS (
-  SELECT qid, cid, round(CAST(dot AS DOUBLE) / (qn * cn), 6) AS sim
+  SELECT qid, cid, round((CAST(dot AS DOUBLE) / {_S_SQL}) / (qn * cn), 6) AS sim
   FROM dots
 )
 """

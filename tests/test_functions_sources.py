@@ -1,0 +1,86 @@
+"""JVM-side normalize functions agree with the Python core; corpus
+source round-trips; streaming ingest produces the same rows as batch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.core.tokens import normalize_text, parse_number
+from doc_ocr_spark.functions import normalize_text_col, parse_number_col
+
+SAMPLES = [
+    "（Ａ Ｂ）：X",
+    "Invoice No: INV-1",
+    "合 计（小写）",
+    "ＣＮＹ１，２３４.５０",
+    "  spaced\tout\ntext  ",
+    "",
+]
+
+NUMS = ["CNY 1,000.50", "$-12.5", "¥460.54", "junk", "-.", "", "3", "1.5e2"]
+
+
+def test_normalize_col_matches_core(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+    got = [r.n for r in df.select(normalize_text_col(F.col("s")).alias("n")).collect()]
+    want = [normalize_text(s) for s in SAMPLES]
+    assert got == want
+
+
+def test_parse_number_col_matches_core(spark):
+    df = spark.createDataFrame([(s,) for s in NUMS], "s string")
+    got = [r.n for r in df.select(parse_number_col(F.col("s")).alias("n")).collect()]
+    want = [parse_number(s) for s in NUMS]
+    # 1.5e2: core strips 'e' -> 1.52; JVM path must agree
+    assert got == want
+
+
+def test_corpus_roundtrip(spark, tmp_path):
+    from doc_ocr_spark.datagen import write_corpus_parquet
+    from doc_ocr_spark.sources import read_corpus, write_corpus
+
+    src = str(tmp_path / "pages.parquet")
+    write_corpus_parquet(src, 50)
+    df = read_corpus(spark, src, columns=("url", "html"))
+    assert df.columns == ["url", "html"]
+    out_ref = str(tmp_path / "bucketed")
+    write_corpus(read_corpus(spark, src), out_ref, n_buckets=4, mode="overwrite")
+    back = spark.read.parquet(out_ref)
+    assert back.count() == 50
+    assert back.select("part_bucket").distinct().count() <= 4
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from doc_ocr_spark.datagen import write_corpus_parquet
+    from doc_ocr_spark.golden import compare_to_golden, golden_rows
+    from doc_ocr_spark.streaming import start_incremental_extraction
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # two "crawl drops"
+    write_corpus_parquet(str(indir / "drop1.parquet"), 40)
+    q = start_incremental_extraction(
+        spark,
+        str(indir),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_buckets=4,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    rows = [
+        r.asDict(recursive=True)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .drop("part_bucket", "bytes_in", "extractor_version", "batch_id")
+        .collect()
+    ]
+    assert compare_to_golden(rows, golden_rows(40)) == []
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = start_incremental_extraction(
+        spark,
+        str(indir),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 40

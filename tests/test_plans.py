@@ -1,0 +1,67 @@
+"""Catalyst behaviours the engine depends on at 100 TB: column pruning
+into the kernel scan, predicate pushdown for partition-date pruning,
+broadcast of small dims, JVM-side (codegen) operator queries."""
+
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.plans import (
+    explain_str,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+
+
+def test_kernel_scan_prunes_columns(spark, tmp_path):
+    """Only (url, html) may reach the scan feeding the kernel — never
+    text/lang (SURVEY.md §4 'column pruning')."""
+    from doc_ocr_spark.datagen import write_corpus_parquet
+    from doc_ocr_spark.kernel import apply_kernel
+
+    src = str(tmp_path / "pages.parquet")
+    write_corpus_parquet(src, 20)
+    df = apply_kernel(spark.read.parquet(src))
+    cols = read_schema_columns(df)
+    assert set(cols) == {"url", "html"}
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    pf = pushed_filters(df)
+    assert any("o_orderstatus" in f for f in pf), pf
+
+
+def test_partition_pruning_on_bucket_output(spark, tmp_path):
+    """Reading one bucket of the job's partitioned output must scan only
+    that hive partition (the Iceberg bucket-pruning analogue)."""
+    from doc_ocr_spark.datagen import write_corpus_parquet
+    from doc_ocr_spark.job import run_extraction
+
+    src = str(tmp_path / "pages.parquet")
+    write_corpus_parquet(src, 60)
+    out = str(tmp_path / "out")
+    run_extraction(spark, src, out, n_buckets=4)
+    one = spark.read.parquet(out).filter(F.col("part_bucket") == 2)
+    plan = explain_str(one)
+    assert "PartitionFilters" in plan and "part_bucket" in plan
+
+
+def test_small_dims_broadcast(spark):
+    from doc_ocr_spark.operators.relational import revenue_by_nation
+
+    df = revenue_by_nation(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_operator_queries_are_codegen(spark):
+    """The SQL-side operators must run inside whole-stage codegen (no
+    Python in the hot path)."""
+    from doc_ocr_spark.operators.dedup import simhash16
+    from doc_ocr_spark.operators.relational import q1_pricing_summary
+
+    assert wholestage_codegen_spans(q1_pricing_summary(spark, "/root/testdata/sf0.001")) >= 1
+    plan = explain_str(simhash16(spark, "/root/testdata/sf0.001"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
