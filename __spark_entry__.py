@@ -14,9 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from doc_ocr_spark.operators import dedup, extraction, relational, sessionize, similarity, textstats
+from doc_ocr_spark.operators import (
+    dedup,
+    extraction,
+    multimodal,
+    relational,
+    sessionize,
+    similarity,
+    textstats,
+)
 
-_MODULES = (relational, sessionize, dedup, textstats, similarity, extraction)
+_MODULES = (relational, sessionize, dedup, textstats, similarity, extraction, multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -24,9 +24,11 @@ from doc_ocr_spark.core.htmltok import decode_html, tokenize_html
 from doc_ocr_spark.core.layout import (
     Line,
     cluster_lines,
+    detect_rotation,
     line_text,
     page_bounds,
     reading_order_lines,
+    unrotate_tokens,
 )
 from doc_ocr_spark.core.templates import (
     extract_scalar_field,
@@ -108,6 +110,12 @@ def _extract_pdftok(url: str, payload: bytes, templates: list[dict]) -> ExtractR
     if not tokens:
         res.errors.append("no_tokens")  # ~ no_ocr_items
         return res
+
+    # orientation normalization (P1/P2 analogue): geometry-only
+    # heuristic, confidence-gated no-op when ambiguous
+    angle = detect_rotation(tokens)
+    if angle:
+        tokens = unrotate_tokens(tokens, angle)
 
     # main-content surface: full reading-order reconstruction (always
     # emitted, even when no template matches)

@@ -144,6 +144,57 @@ def region_filter(
 
 
 # ---------------------------------------------------------------------------
+# Rotation normalization (P1/P2 analogue)
+
+
+def detect_rotation(tokens: list[Token]) -> int:
+    """Infer page rotation from token geometry (the heuristic stand-in
+    for the reference's PP-LCNet orientation model,
+    preprocess.py:127-139: same contract, label in {0, 90}).
+
+    Multi-character text boxes are wide (aspect >> 1) in reading
+    orientation; after a 90-degree page rotation they are tall.  If the
+    median aspect of >=3-char tokens is < 0.9 the page is treated as
+    rotated 90 degrees clockwise.  Like the reference's perspective gate
+    (preprocess.py:258-309), anything ambiguous is a no-op: 180/270 and
+    mixed orientations need a content model, which is out of scope by
+    policy (no ML models in this engine).
+    """
+    aspects = sorted(
+        (t.x2 - t.x1) / (t.y2 - t.y1)
+        for t in tokens
+        if len(t.text) >= 3 and t.y2 > t.y1
+    )
+    if len(aspects) < 3:
+        return 0
+    median = aspects[len(aspects) // 2]
+    return 90 if median < 0.9 else 0
+
+
+def unrotate_tokens(tokens: list[Token], angle: int) -> list[Token]:
+    """Undo a clockwise page rotation on token boxes (numpy-free exact
+    coordinate transform, the P2 analogue of cv2.rotate,
+    preprocess.py:243-256).  Only 90 is supported (see detect_rotation).
+    """
+    if angle == 0 or not tokens:
+        return tokens
+    if angle != 90:
+        raise ValueError(f"unsupported rotation {angle}")
+    h = max(t.x2 for t in tokens)  # rotated page width == original height
+    return [
+        Token(
+            text=t.text,
+            x1=t.y1,
+            y1=h - t.x2,
+            x2=t.y2,
+            y2=h - t.x1,
+            page=t.page,
+        )
+        for t in tokens
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Column-order reconstruction (multi-column reading order)
 
 

@@ -1,0 +1,169 @@
+"""Multimodal payload kernels: decode / feature-extract / resize /
+frame-sample over opaque binary columns.
+
+Mirrors the reference's image stage (preprocess.py:150-167 decode,
+:243-256 rotate/resize) re-expressed for the corpus engine: media is an
+opaque ``binary`` column with typed metadata; per-batch numpy kernels do
+the work (SURVEY.md §2.2).
+
+Codec policy for this environment (no PIL/cv2/ffmpeg — intentional):
+- images: PPM (P6) — parsed from scratch here (header + raw RGB)
+- audio:  WAV PCM16 — stdlib ``wave`` + numpy
+- video:  no codec available -> ``decode_video`` raises
+  NotImplementedError; ``fake_video_frames`` provides the deterministic
+  stand-in the Spark plumbing is tested with (real decode slots in
+  behind the same signature).
+
+All functions are pure; generators are seeded.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Image: PPM P6
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PPM P6 bytes."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM P6 bytes -> (h, w, 3) uint8.  From-scratch parser: magic,
+    whitespace/comment-tolerant header, raw RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def image_features(pixels: np.ndarray) -> dict:
+    """Mean channel values + 4-bin luma histogram (deterministic)."""
+    means = pixels.reshape(-1, 3).mean(axis=0)
+    luma = (
+        0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+    )
+    hist, _ = np.histogram(luma, bins=4, range=(0.0, 256.0))
+    return {
+        "height": int(pixels.shape[0]),
+        "width": int(pixels.shape[1]),
+        "mean_r": round(float(means[0]), 4),
+        "mean_g": round(float(means[1]), 4),
+        "mean_b": round(float(means[2]), 4),
+        "luma_hist": [int(x) for x in hist],
+    }
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure numpy index math)."""
+    h, w, _ = pixels.shape
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[rows][:, cols]
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV PCM16
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples, sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise ValueError("only mono PCM16 supported")
+        sr = f.getframerate()
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+    return data, sr
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, window_ms: int = 100) -> dict:
+    """RMS energy overall + per fixed window (float64, rounded 4dp)."""
+    x = samples.astype(np.float64)
+    win = max(1, sample_rate * window_ms // 1000)
+    n_win = max(1, len(x) // win)
+    trimmed = x[: n_win * win].reshape(n_win, win)
+    rms_w = np.sqrt((trimmed**2).mean(axis=1))
+    return {
+        "sample_rate": int(sample_rate),
+        "n_samples": int(len(x)),
+        "duration_ms": int(len(x) * 1000 // sample_rate),
+        "rms": round(float(np.sqrt((x**2).mean())) if len(x) else 0.0, 4),
+        "rms_windows": [round(float(v), 4) for v in rms_w],
+    }
+
+
+def frame_sample(samples: np.ndarray, every_n: int) -> np.ndarray:
+    """Every-Nth-frame decimation (the video frame-sampling analogue on
+    the 1-D signal)."""
+    return samples[::every_n]
+
+
+# ---------------------------------------------------------------------------
+# Video: stub (no codec in environment)
+
+
+def decode_video(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
+    """Real video decode requires a codec library not present in this
+    environment.  The Spark plumbing (schema, batching, partitioning) is
+    exercised via ``fake_video_frames``; a real decoder drops in here
+    with the same (payload) -> (n_frames, h, w, 3) contract."""
+    raise NotImplementedError(
+        "video decode requires an external codec library (not in this "
+        "environment); use fake_video_frames for plumbing tests"
+    )
+
+
+FAKE_VIDEO_MAGIC = b"FVID"
+
+
+def encode_fake_video(n_frames: int, h: int, w: int, seed: int) -> bytes:
+    """Deterministic stand-in 'video': header + seeded uint8 frames."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+    head = FAKE_VIDEO_MAGIC + struct.pack("<IHH", n_frames, h, w)
+    return head + frames.tobytes()
+
+
+def fake_video_frames(payload: bytes) -> np.ndarray:
+    """(n_frames, h, w, 3) uint8 from the deterministic fake format."""
+    if not payload.startswith(FAKE_VIDEO_MAGIC):
+        raise ValueError("not a fake-video payload")
+    n, h, w = struct.unpack_from("<IHH", payload, 4)
+    data = np.frombuffer(payload, dtype=np.uint8, offset=4 + 8, count=n * h * w * 3)
+    return data.reshape(n, h, w, 3)

@@ -51,6 +51,8 @@ FAMILIES = (
     "summissing",
     "regionsplit",
     "firstrowanchor",
+    "rotated",
+    "multipage",
     "empty",
     "giantblob",
 )
@@ -66,6 +68,8 @@ _WEIGHTS = {
     "summissing": 4,
     "regionsplit": 4,
     "firstrowanchor": 3,
+    "rotated": 3,
+    "multipage": 3,
     "empty": 2,
     "giantblob": 2,
 }
@@ -240,6 +244,34 @@ def _invoice_en_doc(
     return toks
 
 
+def _rotate_cw(toks: list[dict]) -> list[dict]:
+    """Rotate all token boxes 90 degrees clockwise — the 'scanned
+    sideways' page the kernel's orientation heuristic must undo."""
+    h = max(t["y2"] for t in toks)
+    return [
+        {
+            "text": t["text"],
+            "x1": h - t["y2"],
+            "y1": t["x1"],
+            "x2": h - t["y1"],
+            "y2": t["x2"],
+            "page": t["page"],
+        }
+        for t in toks
+    ]
+
+
+def _multipage_doc(r: random.Random, seq: int) -> list[dict]:
+    """Invoice on page 1, free-text terms on page 2 (exercises the
+    per-page grouping in L1/L5/L7 and the matched-page restriction)."""
+    toks = _invoice_en_doc(r, seq)
+    y = 40.0
+    for _ in range(r.randint(3, 6)):
+        toks.append(_tok("Terms: " + _sentence(r, r.randint(4, 8)), 40, y, page=2))
+        y += 20.0
+    return toks
+
+
 def _invoice_zh_doc(r: random.Random, seq: int, *, region_split: bool = False) -> list[dict]:
     toks: list[dict] = []
     toks.append(_tok("电子发票（普通发票）", 200, 30, ch_w=14.0))
@@ -326,6 +358,12 @@ def make_page(seq: int, seed: int = 42, giant_repeat: int = 60) -> dict:
         html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
     elif family == "firstrowanchor":
         toks = _invoice_en_doc(r, seq, first_row_anchor=True)
+        html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
+    elif family == "rotated":
+        toks = _rotate_cw(_invoice_en_doc(r, seq))
+        html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
+    elif family == "multipage":
+        toks = _multipage_doc(r, seq)
         html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
     else:  # pragma: no cover
         raise AssertionError(family)

@@ -192,12 +192,116 @@ SELECT cid AS vec_id, qid AS bucket, sim FROM (
 ) WHERE rank = 1
 """
 
+
+def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, the scale path end-to-end: IVF-assign every
+    vector to a bucket, then find each vector's nearest neighbour
+    WITHIN its bucket only.  At 100 TB the pair join is bounded by
+    bucket size instead of n^2 (the embedding analogue of LSH-banded
+    MinHash in dedup.py)."""
+    emb = _emb_with_norms(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    asg_w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("qid").asc())
+    assign = (
+        _sims(cents, emb)
+        .withColumn("rank", F.row_number().over(asg_w))
+        .filter(F.col("rank") == 1)
+        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("bucket"))
+    )
+    withb = emb.join(assign, "vec_id")
+    left = withb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    right = withb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("bucket2"),
+    )
+    pairs = left.join(
+        right, (F.col("bucket") == F.col("bucket2")) & (F.col("qid") != F.col("cid"))
+    )
+    dots = (
+        pairs.select(
+            "qid", "cid", "qn", "cn", "bucket",
+            F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"),
+            "qe", "ce",
+        )
+        .select(
+            "qid", "cid", "qn", "cn", "bucket",
+            scaled_long(
+                F.element_at("qe", F.col("i")).cast("double")
+                * F.element_at("ce", F.col("i")).cast("double"),
+                _S,
+            ).alias("p"),
+        )
+        .groupBy("qid", "cid", "qn", "cn", "bucket")
+        .agg(F.sum("p").alias("dot"))
+        .select(
+            "qid", "cid", "bucket",
+            F.round(
+                (F.col("dot").cast("double") / _S) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    nn_w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        dots.withColumn("rank", F.row_number().over(nn_w))
+        .filter(F.col("rank") == 1)
+        .select(
+            F.col("qid").alias("vec_id"), "bucket",
+            F.col("cid").alias("nn_id"), "sim",
+        )
+    )
+
+
+NN_BUCKET_SQL = f"""
+WITH {_NORMS_CTE}, {_sims_sql(f"< {N_CENTROIDS}")},
+assign AS (
+  SELECT cid AS vec_id, qid AS bucket FROM (
+    SELECT qid, cid, sim,
+           row_number() OVER (PARTITION BY cid ORDER BY sim DESC, qid) AS rank
+    FROM sims
+  ) WHERE rank = 1
+),
+withb AS (SELECT e.vec_id, e.embedding, e.nrm, a.bucket
+          FROM emb e JOIN assign a USING (vec_id)),
+bpairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
+         q.embedding AS qe, c.embedding AS ce, q.nrm AS qn, c.nrm AS cn
+  FROM withb q JOIN withb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+bexpl AS (
+  SELECT qid, cid, bucket, qn, cn, qe, ce, unnest(generate_series(1, {DIM})) AS i
+  FROM bpairs
+),
+bdots AS (
+  SELECT qid, cid, bucket, qn, cn,
+         sum(CAST(floor(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * {_S_SQL}) AS BIGINT)) AS dot
+  FROM bexpl GROUP BY qid, cid, bucket, qn, cn
+),
+bsims AS (
+  SELECT qid, cid, bucket, round((CAST(dot AS DOUBLE) / {_S_SQL}) / (qn * cn), 6) AS sim
+  FROM bdots
+)
+SELECT qid AS vec_id, bucket, cid AS nn_id, sim FROM (
+  SELECT qid, cid, bucket, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+  FROM bsims
+) WHERE rank = 1
+"""
+
 ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_ivf_bucketed": IVF_SQL,
+    "ann_nn_within_bucket": NN_BUCKET_SQL,
 }
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_bucketed": ann_ivf_bucketed,
+    "ann_nn_within_bucket": ann_nn_within_bucket,
 }

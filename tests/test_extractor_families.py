@@ -28,6 +28,8 @@ def _results():
         ("nonlatin", True, ()),
         ("regionsplit", True, ()),
         ("firstrowanchor", True, ()),
+        ("rotated", True, ()),
+        ("multipage", True, ()),
         ("empty", False, ("empty_document",)),
         ("multicolumn", False, ("template_not_matched",)),
         ("summissing", False, ("sum_row_not_found", "missing_required:total_amount")),
@@ -69,6 +71,46 @@ def test_multicolumn_reading_order_column_major():
         right = sorted((t for t in toks if t["x1"] >= 300), key=lambda t: (t["y1"], t["x1"]))
         expected = [t["text"] for t in left] + [t["text"] for t in right]
         assert res.extracted_text.split() == expected
+
+
+def test_rotated_recovers_same_fields_as_upright():
+    """A 90-degree-rotated invoice must extract the same structured
+    fields as its upright twin (orientation normalization P1/P2)."""
+    import json as _json
+
+    from doc_ocr_spark.core.extractor import _parse_pdftok
+    from doc_ocr_spark.datagen import _invoice_en_doc, _pdftok_bytes, _rotate_cw, _rng
+
+    r1, r2 = _rng(42, 9), _rng(42, 9)
+    upright = _pdftok_bytes(_invoice_en_doc(r1, 9))
+    rotated = _pdftok_bytes(_rotate_cw(_invoice_en_doc(r2, 9)))
+    a = extract_document("u", upright)
+    b = extract_document("u", rotated)
+    assert a.complete and b.complete
+    assert a.fields_json == b.fields_json
+
+
+def test_rotation_detector_is_a_noop_on_upright_pages():
+    from doc_ocr_spark.core.layout import detect_rotation
+    from doc_ocr_spark.core.extractor import _parse_pdftok
+
+    for fam, page, res in _results():
+        if fam not in ("multicolumn", "splitanchor", "nonlatin"):
+            continue
+        toks = _parse_pdftok(page["html"])
+        assert detect_rotation(toks) == 0, page["url"]
+
+
+def test_multipage_invoice_page1_fields_page2_text():
+    import json as _json
+
+    for fam, page, res in _results():
+        if fam != "multipage":
+            continue
+        assert res.template_name == "invoice_en"
+        fields = _json.loads(res.fields_json)
+        assert "Terms" not in fields.get("buyer", {}).get("name", "")
+        assert "Terms:" in res.extracted_text  # page 2 kept in reading order
 
 
 def test_determinism_same_input_same_output():
