@@ -19,12 +19,22 @@ from doc_ocr_spark.operators import (
     extraction,
     multimodal,
     relational,
+    relational2,
     sessionize,
     similarity,
     textstats,
 )
 
-_MODULES = (relational, sessionize, dedup, textstats, similarity, extraction, multimodal)
+_MODULES = (
+    relational,
+    relational2,
+    sessionize,
+    dedup,
+    textstats,
+    similarity,
+    extraction,
+    multimodal,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

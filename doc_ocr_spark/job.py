@@ -70,6 +70,12 @@ def run_extraction(
     corpus = spark.read.parquet(input_path)
     corpus = with_bucket(corpus.select("url", "html"), n_buckets)
 
+    if not resume and completed_buckets(spark, output):
+        # the output append would silently duplicate finished buckets
+        raise ValueError(
+            f"{output} already has committed lineage; pass --resume to "
+            "process only pending buckets (or use a fresh output path)"
+        )
     done = set(completed_buckets(spark, output)) if resume else set()
     if done:
         corpus = corpus.filter(~F.col("part_bucket").isin([int(b) for b in done]))
