@@ -158,10 +158,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verified = _jaccard_pairs(sh).join(cand, ["doc_a", "doc_b"])
-    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", "jaccard"
+    # Verify ONLY the candidate pairs: fan cand out to its two shingle
+    # sets and count the overlap.  Work is O(|cand| * shingles/doc), not
+    # the O(n^2) inverted-index join — that full join exists only as the
+    # small-scale baseline (ngram_jaccard_pairs).  cand is tiny relative
+    # to the corpus, so the first join broadcasts under AQE.
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("za.n") + F.col("zb.n") - F.col("inter")),
+        6,
+    ).alias("jaccard")
+    verified = (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", jac)
+    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 MINHASH_SQL = f"""
@@ -180,15 +207,16 @@ cand AS (
     ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
 ),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.s = a.s
   GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
 SELECT i.doc_a, i.doc_b,
        round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
 FROM inter i
-JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes za ON i.doc_a = za.doc_id JOIN sizes zb ON i.doc_b = zb.doc_id
 WHERE round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) >= {JACCARD_THRESHOLD}
 """
