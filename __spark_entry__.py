@@ -20,6 +20,7 @@ from doc_ocr_spark.operators import (
     multimodal,
     relational,
     relational2,
+    relational3,
     sessionize,
     similarity,
     textstats,
@@ -28,6 +29,7 @@ from doc_ocr_spark.operators import (
 _MODULES = (
     relational,
     relational2,
+    relational3,
     sessionize,
     dedup,
     textstats,

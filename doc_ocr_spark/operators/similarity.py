@@ -294,14 +294,165 @@ SELECT qid AS vec_id, bucket, cid AS nn_id, sim FROM (
 ) WHERE rank = 1
 """
 
+def _hyperplane_signs(n_planes: int, dim: int = DIM, seed: int = 20240816):
+    """Deterministic ±1 hyperplane coefficients (seeded stdlib PRNG —
+    the k-means-free analogue of fitting random projections; at corpus
+    scale these are job config, broadcast like templates)."""
+    import random
+
+    out = []
+    for j in range(n_planes):
+        rng = random.Random(seed + j)
+        out.append([1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)])
+    return out
+
+
+N_PLANES = 4
+DEDUP_TAU = 0.35
+_SIGNS = _hyperplane_signs(N_PLANES)
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane LSH (SimHash over the
+    vector space): bucket = sign bits of 4 random-hyperplane dots, pair
+    join WITHIN a bucket only, cosine >= tau verify.  The signed dot is
+    summed as scaled longs, so the sign test is an exact integer
+    comparison — bucket assignment is bit-identical across engines.
+
+    Scale: the pair join is bounded by bucket size (vs n^2); more planes
+    -> smaller buckets; multiple plane-sets OR'd raise recall (classic
+    banding), all expressible as unions of this same query."""
+    emb = _emb_with_norms(spark, sf_dir)
+    expl = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"),
+    )
+    plane_sums = [
+        F.sum(
+            scaled_long(
+                F.element_at("embedding", F.col("i")).cast("double")
+                * F.element_at(
+                    F.array(*[F.lit(v) for v in _SIGNS[j]]), F.col("i")
+                ),
+                _S,
+            )
+        ).alias(f"d{j}")
+        for j in range(N_PLANES)
+    ]
+    withd = expl.groupBy("vec_id", "nrm").agg(*plane_sums)
+    bucket = None
+    for j in range(N_PLANES):
+        bit = F.when(F.col(f"d{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    buckets = withd.select("vec_id", "nrm", bucket.alias("bucket"))
+    withb = load(spark, sf_dir, "embeddings").join(buckets, "vec_id")
+    left = withb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    right = withb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("bucket2"),
+    )
+    pairs = left.join(
+        right, (F.col("bucket") == F.col("bucket2")) & (F.col("qid") < F.col("cid"))
+    )
+    dots = (
+        pairs.select(
+            "qid", "cid", "qn", "cn",
+            F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"),
+            "qe", "ce",
+        )
+        .select(
+            "qid", "cid", "qn", "cn",
+            scaled_long(
+                F.element_at("qe", F.col("i")).cast("double")
+                * F.element_at("ce", F.col("i")).cast("double"),
+                _S,
+            ).alias("p"),
+        )
+        .groupBy("qid", "cid", "qn", "cn")
+        .agg(F.sum("p").alias("dot"))
+        .select(
+            "qid", "cid",
+            F.round(
+                (F.col("dot").cast("double") / _S) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    return dots.filter(F.col("sim") >= DEDUP_TAU).select(
+        F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "sim"
+    )
+
+
+def _signs_sql_list(j: int) -> str:
+    return "[" + ", ".join(str(v) for v in _SIGNS[j]) + "]"
+
+
+_PLANE_SUMS_SQL = ",\n         ".join(
+    f"sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * sgn{j}[i] * {_S_SQL}) AS BIGINT)) AS d{j}"
+    for j in range(N_PLANES)
+)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
+)
+
+EMB_DEDUP_SQL = f"""
+WITH {_NORMS_CTE},
+sgn AS (SELECT {", ".join(f"{_signs_sql_list(j)}::DOUBLE[] AS sgn{j}" for j in range(N_PLANES))}),
+hexpl AS (
+  SELECT vec_id, embedding, nrm, unnest(generate_series(1, {DIM})) AS i
+  FROM emb
+),
+hdots AS (
+  SELECT vec_id, nrm,
+         {_PLANE_SUMS_SQL}
+  FROM hexpl, sgn GROUP BY vec_id, nrm
+),
+buckets AS (
+  SELECT vec_id, nrm, {_BUCKET_SQL} AS bucket FROM hdots
+),
+withb AS (
+  SELECT e.vec_id, e.embedding, b.nrm, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+),
+dpairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         q.embedding AS qe, c.embedding AS ce, q.nrm AS qn, c.nrm AS cn
+  FROM withb q JOIN withb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+),
+dexpl AS (
+  SELECT qid, cid, qn, cn, qe, ce, unnest(generate_series(1, {DIM})) AS i
+  FROM dpairs
+),
+ddots AS (
+  SELECT qid, cid, qn, cn,
+         sum(CAST(floor(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * {_S_SQL}) AS BIGINT)) AS dot
+  FROM dexpl GROUP BY qid, cid, qn, cn
+)
+SELECT qid AS vec_a, cid AS vec_b,
+       round((CAST(dot AS DOUBLE) / {_S_SQL}) / (qn * cn), 6) AS sim
+FROM ddots
+WHERE round((CAST(dot AS DOUBLE) / {_S_SQL}) / (qn * cn), 6) >= {DEDUP_TAU}
+"""
+
+
 ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_ivf_bucketed": IVF_SQL,
     "ann_nn_within_bucket": NN_BUCKET_SQL,
+    "embedding_cosine_dedup": EMB_DEDUP_SQL,
 }
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_bucketed": ann_ivf_bucketed,
     "ann_nn_within_bucket": ann_nn_within_bucket,
+    "embedding_cosine_dedup": embedding_cosine_dedup,
 }
