@@ -1,0 +1,183 @@
+"""Structured Streaming event-time operators.
+
+Two streaming re-expressions over the ``events`` schema, each the
+stream twin of a batch operator (tested for parity in
+tests/test_streaming_ops.py):
+
+- ``streaming_hourly_windows``  tumbling event-time windows with a
+  watermark — the stream form of
+  operators/relational3.events_hourly_windows.  The watermark bounds
+  state: windows older than (max event time - delay) are finalized and
+  their state dropped; a row arriving later than that is discarded
+  (demonstrated in the late-drop test).
+- ``streaming_sessionize``      custom stateful operator via
+  ``applyInPandasWithState`` — the stream form of
+  operators/sessionize.sessionize_events (L1's gap clustering over
+  time).  State per user = (session counter, open-session aggregate);
+  a session is emitted the moment the event that OPENS the next one is
+  seen, so output contains every closed session and state holds at most
+  one open session per user.
+
+At 100 TB-scale ingest these run against a file/Kafka stream with the
+same code; the state store shuffles by group key exactly like the batch
+window's hash exchange, and the watermark is what keeps state bounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from doc_ocr_spark.streaming.ingest import PAGES_SCHEMA  # noqa: F401  (re-export site)
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+SESSION_GAP_S = 300  # keep identical to operators/sessionize.py
+_S = 1000000.0
+
+
+def _read_events_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def streaming_hourly_windows(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "hourly_windows",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Run the windowed agg over all currently-available files
+    (trigger availableNow), collect results in a memory sink, return
+    the result DataFrame.
+
+    update mode: each trigger emits the windows it changed; the memory
+    sink keeps every emission, so we dedup to the last update per key.
+    Note (measured, Spark 4.1): update mode only drops a late row once
+    the window's state has been evicted — while state is live a
+    stale-but-buffered row still merges.
+
+    append mode: a window is emitted exactly once, when the watermark
+    passes its end; rows later than the watermark are dropped before
+    they can touch finalized state (the strict late-data guarantee —
+    demonstrated in tests/test_streaming_ops.py)."""
+    ev = _read_events_stream(spark, input_dir, max_files_per_trigger)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(_S))).alias("sum_scaled"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            F.round(F.col("sum_scaled").cast("double") / F.lit(_S), 4).alias(
+                "sum_value"
+            ),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(query_name)
+    if output_mode == "append":
+        return sink  # at most one emission per window
+    # update mode can emit a window more than once (once per trigger
+    # that touched it); the final value is the last emission.  The
+    # memory sink appends in trigger order, so dedup keeps the max n.
+    return (
+        sink.groupBy("win_start", "event_type")
+        .agg(F.max_by(F.struct("n", "sum_value"), "n").alias("s"))
+        .select("win_start", "event_type", F.col("s.n").alias("n"), F.col("s.sum_value").alias("sum_value"))
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_id BIGINT, n_events BIGINT, "
+    "start_s BIGINT, end_s BIGINT, sum_value DOUBLE"
+)
+_SESSION_STATE_SCHEMA = (
+    "next_sid BIGINT, cur_start BIGINT, cur_end BIGINT, "
+    "cur_n BIGINT, cur_sum_scaled BIGINT"
+)
+
+
+def _sessionize_group(key, pdf_iter, state: GroupState):
+    """Fold this batch's events (sorted by ts, event_id) into the open
+    session carried in state; emit every session that closes."""
+    (user_id,) = key
+    if state.exists:
+        next_sid, cur_start, cur_end, cur_n, cur_sum = state.get
+    else:
+        next_sid, cur_start, cur_end, cur_n, cur_sum = 1, None, None, 0, 0
+
+    out_rows = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_s = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        vals = pdf["value"].tolist()
+        for t, v in zip(ts_s, vals):
+            scaled = int((v * _S) // 1)  # floor toward -inf, matches F.floor
+            if cur_start is None:
+                cur_start, cur_end, cur_n, cur_sum = t, t, 1, scaled
+            elif t - cur_end > SESSION_GAP_S:
+                out_rows.append(
+                    (user_id, next_sid, cur_n, cur_start, cur_end, round(cur_sum / _S, 4))
+                )
+                next_sid += 1
+                cur_start, cur_end, cur_n, cur_sum = t, t, 1, scaled
+            else:
+                cur_end, cur_n, cur_sum = t, cur_n + 1, cur_sum + scaled
+    state.update((next_sid, cur_start, cur_end, cur_n, cur_sum))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "session_id", "n_events", "start_s", "end_s", "sum_value"],
+        )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "stream_sessions",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState).
+    Emits closed sessions; the (at most one) still-open session per
+    user remains in the state store, exactly like a production
+    sessionizer that finalizes on gap timeout."""
+    ev = _read_events_stream(spark, input_dir, max_files_per_trigger)
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
