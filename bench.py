@@ -42,6 +42,12 @@ HEADLINE = [
     "quality_score",
     "ann_cosine_topk",
     "ann_ivf_bucketed",
+    "embedding_cosine_dedup",
+    "moving_avg_order_price",
+    "order_quantiles_by_priority",
+    "distinct_parts_per_supplier",
+    "events_hourly_windows",
+    "revenue_cube",
     "extract_html_docs",
 ]
 

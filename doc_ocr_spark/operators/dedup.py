@@ -120,21 +120,56 @@ WHERE round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) >= {JACCARD_THRESH
 """
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ss: array<string>) — the distinct shingle SET per doc in
+    ONE shuffle (collect_set dedups in the agg, so no separate
+    DISTINCT exchange).  Everything downstream (signatures, sizes,
+    intersection verify) runs JVM-side on the array column."""
+    w = F.split(F.col("text"), " ")
+    exploded = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("s"),
+        )
+    )
+    return exploded.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup (the scale path): signature_k =
     min(md5(k || ':' || shingle)) — lexicographic min over hex strings,
     engine-portable; candidates share >=1 of the {N_MINHASH} signature
-    bands (r=1); candidates are then verified with true Jaccard.
+    bands (r=1); candidates are then verified with true Jaccard via
+    array_intersect on the two shingle sets.
 
-    At corpus scale the verify join touches only candidate pairs, never
-    the full cross product.
+    Plan shape (the 100 TB story): ONE wide shuffle builds the per-doc
+    shingle set; signatures are array_min(transform(...)) computed
+    map-side; the band self-join is bounded by band-bucket sizes; the
+    verify join touches only candidate pairs.  No cache, no recompute —
+    the set table is the single reused input and Spark re-reads it from
+    the shuffle output.
     """
-    sh = _shingles(load(spark, sf_dir, "documents")).cache()
+    sets = _shingle_sets(spark, sf_dir)
     sig_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"sig{k}")
+        F.array_min(
+            F.transform("ss", lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))
+        ).alias(f"sig{k}")
         for k in range(N_MINHASH)
     ]
-    sigs = sh.groupBy("doc_id").agg(*sig_cols)
+    sigs = sets.select("doc_id", *sig_cols)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -158,45 +193,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Verify ONLY the candidate pairs: fan cand out to its two shingle
-    # sets and count the overlap.  Work is O(|cand| * shingles/doc), not
-    # the O(n^2) inverted-index join — that full join exists only as the
-    # small-scale baseline (ngram_jaccard_pairs).  cand is tiny relative
-    # to the corpus, so the first join broadcasts under AQE.
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("ssa", "ssb"))
+    union = F.size("ssa") + F.size("ssb") - inter
+    jac = F.round(inter.cast("double") / union, 6).alias("jaccard")
+    return (
+        joined.select("doc_a", "doc_b", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    jac = F.round(
-        F.col("inter").cast("double")
-        / (F.col("za.n") + F.col("zb.n") - F.col("inter")),
-        6,
-    ).alias("jaccard")
-    verified = (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
-        .select("doc_a", "doc_b", jac)
-    )
-    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 MINHASH_SQL = f"""
 WITH {_SHINGLES_CTE},
+sets AS (SELECT doc_id, list(s) AS ss FROM shingles GROUP BY doc_id),
 sigs AS (
   SELECT doc_id,
-         {", ".join(f"min(md5('{k}:' || s)) AS sig{k}" for k in range(N_MINHASH))}
-  FROM shingles GROUP BY doc_id
+         {", ".join(f"list_min(list_transform(ss, s -> md5('{k}:' || s))) AS sig{k}" for k in range(N_MINHASH))}
+  FROM sets
 ),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {k} AS band, sig{k} AS h FROM sigs" for k in range(N_MINHASH))}
@@ -206,19 +221,17 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
 ),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS inter
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(za.ss, zb.ss)) AS inter,
+         len(za.ss) + len(zb.ss) - len(list_intersect(za.ss, zb.ss)) AS un
   FROM cand c
-  JOIN shingles a ON a.doc_id = c.doc_a
-  JOIN shingles b ON b.doc_id = c.doc_b AND b.s = a.s
-  GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
-SELECT i.doc_a, i.doc_b,
-       round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
-FROM inter i
-JOIN sizes za ON i.doc_a = za.doc_id JOIN sizes zb ON i.doc_b = zb.doc_id
-WHERE round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) >= {JACCARD_THRESHOLD}
+  JOIN sets za ON c.doc_a = za.doc_id
+  JOIN sets zb ON c.doc_b = zb.doc_id
+)
+SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM verified
+WHERE round(CAST(inter AS DOUBLE) / un, 6) >= {JACCARD_THRESHOLD}
 """
 
 
