@@ -31,6 +31,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64m broadcast room: mid-size dims (orders at bench SF) hash-
+        # broadcast instead of shuffling both sides; AQE's runtime stats
+        # still demote anything that turns out bigger than this.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
