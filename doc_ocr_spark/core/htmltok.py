@@ -14,7 +14,9 @@ list depends only on the input bytes.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 # Tags whose entire subtree is invisible — the analogue of the reference's
@@ -173,16 +175,96 @@ class _BlockParser(HTMLParser):
         return "body"
 
 
-def tokenize_html(html: str) -> list[Block]:
-    """Parse HTML text into an ordered list of visible text blocks.
-
-    Tolerant of malformed markup (stdlib parser never raises on bad
-    nesting); raises only on catastrophic parser errors, which the caller
-    maps to the ``parse_error`` taxonomy row (never a thrown task).
-    """
+def tokenize_html_htmlparser(html: str) -> list[Block]:
+    """Reference tokenizer on stdlib ``html.parser`` — kept as the
+    cross-check oracle for the fast scanner below (equivalence asserted
+    over the full synthetic corpus in tests/test_htmltok.py)."""
     p = _BlockParser()
     p.feed(html)
     p.close()
+    p._flush()
+    return p.st.blocks
+
+
+# -- fast single-regex scanner -------------------------------------------
+#
+# html.parser spends most of its time in per-tag regex dispatch
+# (parse_starttag/parse_endtag were ~45% of the HTML kernel path under
+# cProfile).  This scanner walks the document with ONE compiled regex and
+# feeds the SAME _BlockParser state machine, so block semantics are
+# identical by construction; the stdlib path remains as the oracle.
+#
+# Replicated html.parser behaviours (convert_charrefs=True):
+# - tag names case-folded; attributes tolerated incl. quoted '>'
+# - character/entity refs resolved in text (html.unescape)
+# - comments / doctype / CDATA sections / processing instructions skipped
+# - script/style bodies are CDATA: no tags until the matching close;
+#   unterminated -> rest of document swallowed
+# - '<' not starting a construct falls through as literal text
+_TAG_RE = re.compile(
+    r"""<(?:
+        !--.*?(?:-->|$)                 # comment (possibly unterminated)
+      | !\[CDATA\[.*?(?:\]\]>|$)        # CDATA section
+      | ![^>]*(?:>|$)                   # doctype / declaration
+      | \?[^>]*(?:>|$)                  # processing instruction
+      | (?P<close>/)?
+        (?P<name>[a-zA-Z][a-zA-Z0-9.:_-]*)
+        # attrs: quoted strings may contain '>'; a lone quote (e.g. the
+        # unquoted value in <p title=it's>) falls through as a single
+        # char.  Atomic groups commit each step -> no backtracking blowup
+        # on pathological quote runs.
+        (?P<attrs>(?:(?>"[^"]*")|(?>'[^']*')|[^>"']+|["'])*)
+        (?:>|$)
+    )""",
+    re.X | re.S,
+)
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.I) for t in ("script", "style")
+}
+
+
+def tokenize_html(html: str) -> list[Block]:
+    """Parse HTML text into an ordered list of visible text blocks.
+
+    Tolerant of malformed markup; never raises on bad nesting.  The
+    caller maps catastrophic errors to the ``parse_error`` taxonomy row
+    (never a thrown task).
+    """
+    p = _BlockParser()
+    data = p.handle_data
+    n = len(html)
+    pos = 0
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            break
+        if m.start() > pos:
+            seg = html[pos:m.start()]
+            data(unescape(seg) if "&" in seg else seg)
+        pos = m.end()
+        name = m.group("name")
+        if not name:
+            continue  # comment/doctype/PI/CDATA
+        tag = name.lower()
+        if m.group("close"):
+            p.handle_endtag(tag)
+        elif (m.group("attrs") or "").rstrip().endswith("/"):
+            p.handle_startendtag(tag, [])
+        else:
+            p.handle_starttag(tag, [])
+            cdata = _CDATA_CLOSE.get(tag)
+            if cdata is not None:
+                cm = cdata.search(html, pos)
+                if cm is None:
+                    pos = n  # unterminated script/style swallows the rest
+                else:
+                    # body skipped entirely: _BlockParser drops it anyway
+                    # (skip_depth > 0), so not emitting it is equivalent
+                    p.handle_endtag(tag)
+                    pos = cm.end()
+    if pos < n:
+        seg = html[pos:]
+        data(unescape(seg) if "&" in seg else seg)
     p._flush()
     return p.st.blocks
 

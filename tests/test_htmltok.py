@@ -44,3 +44,35 @@ def test_malformed_html_tolerated():
 
 def test_decode_replacement():
     assert "�" in decode_html(b"\xff\xfe broken")
+
+
+def test_fast_scanner_equivalent_to_stdlib_parser():
+    """The single-regex scanner must produce byte-identical blocks to
+    the html.parser oracle over the whole synthetic corpus plus
+    adversarial markup."""
+    from doc_ocr_spark.core.htmltok import (
+        decode_html,
+        tokenize_html,
+        tokenize_html_htmlparser,
+    )
+    from doc_ocr_spark.datagen import generate_pages
+
+    for p in generate_pages(800, seed=7):
+        h = decode_html(p["html"])
+        assert tokenize_html(h) == tokenize_html_htmlparser(h), p["url"]
+
+    cases = [
+        '<div data-x="a>b">quoted gt</div>',
+        "<P>UPPER</P><p title=it's>unquoted apostrophe</p>",
+        '<p title=say"what>stray quote</p>',
+        "<script>var a = '<div>nope</div>';</script><p>after cdata</p>",
+        "<script>unterminated <p>swallowed",
+        "<!-- comment --><p>x &amp; y &lt;3 &#65;</p>",
+        "<br/><hr /><div/>self closed",
+        "plain < not a tag > text",
+        "<![CDATA[ <p>no</p> ]]><p>after</p>",
+        "<?php echo '<p>no</p>'; ?><p>after pi</p>",
+        "<nav><a href='/'>home</a></nav><main><p>body text</p></main>",
+    ]
+    for c in cases:
+        assert tokenize_html(c) == tokenize_html_htmlparser(c), c
