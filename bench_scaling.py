@@ -40,8 +40,14 @@ spark = get_spark("scaling-bench", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus, 8))
 out_dir = f"/tmp/doc_ocr_spark_bench/scale_{{cpus}}"
 bench.warm_up(spark)
-runs = [bench.bench_extraction(spark, n_docs, out_dir) for _ in range(2)]
+# two throwaway passes: the first executions of the kernel+write path
+# pay whole-stage-codegen + C2 JIT compilation, which amortizes to zero
+# at real job lengths (a 100 TB run is hours, not seconds); the steady
+# state is what the two levels are compared on.
+warm = [bench.bench_extraction(spark, n_docs, out_dir) for _ in range(2)]
+runs = [bench.bench_extraction(spark, n_docs, out_dir) for _ in range(3)]
 m = max(runs, key=lambda r: r["docs_per_sec"])
+m["warm_sec"] = [round(r["sec"], 2) for r in warm]
 m["runs_sec"] = [round(r["sec"], 2) for r in runs]
 rows = [r.asDict(recursive=True) for r in spark.read.parquet(out_dir)
         .drop("bytes_in", "extractor_version").collect()]

@@ -397,7 +397,11 @@ def write_corpus_parquet(path: str, n: int, seed: int = 42) -> None:
         ]
     )
     table = pa.Table.from_pylist(rows, schema=schema)
-    pq.write_table(table, path)
+    # ~8-16 MB row groups (2048 rows x ~4.5 KB): the layout a real
+    # corpus writer (Iceberg/parquet at 128 MB files) produces, and what
+    # lets the scan parallelize without a pre-kernel exchange — a single
+    # 60k-row group would serialize the whole map stage onto one task.
+    pq.write_table(table, path, row_group_size=2048)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,12 @@ def get_spark(
         # broadcast instead of shuffling both sides; AQE's runtime stats
         # still demote anything that turns out bigger than this.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # 16m scan splits: html-heavy corpora must split finer than the
+        # 128m default or a single big file caps map-stage parallelism
+        # (262 MB file -> 3 tasks; the kernel stage then can't use the
+        # cores).  Row groups are written ~8-16 MB (datagen) so every
+        # split maps to whole row groups.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")

@@ -87,3 +87,41 @@ def test_job_resume_processes_only_pending(spark, corpus_path, tmp_path):
         ),
         golden_rows(N_DOCS),
     ) == []
+
+
+def test_skew_split_spreads_giants(spark, tmp_path):
+    """Explicit skew handling: giant html blobs in ONE url-hash bucket
+    must fan out across multiple shuffle partitions, while normal rows
+    keep skew_sub=0 (bucket bulk stays together)."""
+    from pyspark.sql import functions as F
+
+    from doc_ocr_spark.job import GIANT_HTML_BYTES, with_bucket, with_skew_split
+
+    giant = b"x" * (GIANT_HTML_BYTES + 1)
+    rows = [(f"https://g.test/{i}", bytearray(giant)) for i in range(32)]
+    rows += [(f"https://n.test/{i}", bytearray(b"<p>small</p>")) for i in range(32)]
+    df = with_skew_split(
+        with_bucket(
+            spark.createDataFrame(rows, "url string, html binary"), 1
+        )
+    )
+    out = df.select(
+        "url",
+        "part_bucket",
+        "skew_sub",
+        (F.length("html") > GIANT_HTML_BYTES).alias("is_giant"),
+    ).collect()
+    subs_giants = {r.skew_sub for r in out if r.is_giant}
+    subs_normal = {r.skew_sub for r in out if not r.is_giant}
+    assert subs_normal == {0}
+    assert len(subs_giants) >= 3  # 32 giants over 8 sub-keys
+    # the exchange key spreads giants over distinct partitions
+    parts = (
+        df.repartition(8, "part_bucket", "skew_sub")
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.length("html") > GIANT_HTML_BYTES)
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts >= 3
