@@ -16,6 +16,8 @@ style (tests/test_invoice_rule_extractor.py:17-58) lifted to web pages:
   first-row-anchor   required-only anchor fallback in L16
   empty              empty html guard
   giant-blob         skew: one html ~100x median size
+  zh-special         property-special template variant (required extra
+                     anchor, cert/area table columns — template dispatch)
 
 Everything is seeded (no wall clock, no ambient randomness): same
 (seed, n) -> byte-identical corpus, which is what makes the golden set
@@ -55,6 +57,7 @@ FAMILIES = (
     "multipage",
     "empty",
     "giantblob",
+    "zhspecial",
 )
 
 # relative frequency per family (bulk families dominate, like a real crawl)
@@ -72,6 +75,7 @@ _WEIGHTS = {
     "multipage": 3,
     "empty": 2,
     "giantblob": 2,
+    "zhspecial": 4,
 }
 _FAMILY_WHEEL: list[str] = []
 for fam in FAMILIES:
@@ -315,6 +319,46 @@ def _invoice_zh_doc(r: random.Random, seq: int, *, region_split: bool = False) -
     return toks
 
 
+def _invoice_zh_special_doc(r: random.Random, seq: int) -> list[dict]:
+    """Property-special variant (matches builtin invoice_zh_special):
+    special title part, required 产权证号 anchor, cert/area table
+    columns instead of qty/price."""
+    toks: list[dict] = []
+    toks.append(_tok("电子发票（专用发票）", 200, 30, ch_w=14.0))
+    toks.append(_tok("发票号码:", 40, 70, ch_w=12.0))
+    toks.append(_tok(f"{35000000 + seq}", 110, 70))
+    toks.append(_tok(f"开票日期:2025年{1 + seq % 12}月{1 + seq % 28}日", 340, 70, ch_w=12.0))
+    buyer = "".join(r.choice(_ZH_WORDS) for _ in range(2)) + "有限公司"
+    seller = "".join(r.choice(_ZH_WORDS) for _ in range(2)) + "置业"
+    toks.append(_tok(f"名称:{buyer}", 40, 110, ch_w=12.0))
+    toks.append(_tok(f"名称:{seller}", 330, 110, ch_w=12.0))
+    toks += [
+        _tok("项目名称", 40, 160, ch_w=12.0),
+        _tok("产权证号", 250, 160, ch_w=12.0),
+        _tok("面积", 400, 160, ch_w=12.0),
+        _tok("金额", 490, 160, ch_w=12.0),
+    ]
+    y = 190.0
+    total = 0.0
+    for _ in range(r.randint(1, 2)):
+        area = r.randint(500, 2000) / 10.0
+        amount = round(area * r.randint(80, 120), 2)
+        total = round(total + amount, 2)
+        toks += [
+            _tok("*不动产*" + r.choice(_ZH_WORDS), 40, y, ch_w=12.0),
+            _tok(f"证{seq:07d}号", 250, y, ch_w=12.0),
+            _tok(f"{area:.1f}", 400, y),
+            _tok(f"{amount:.2f}", 490, y),
+        ]
+        y += 22.0
+    toks += [_tok("合", 40, y, ch_w=12.0), _tok("计", 56, y, ch_w=12.0)]
+    toks.append(_tok(f"¥{total:.2f}", 490, y))
+    y += 30.0
+    toks.append(_tok("开票人:赵六", 40, y, ch_w=12.0))
+    toks.append(_tok(".", 660, y + 20))
+    return toks
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -345,6 +389,10 @@ def make_page(seq: int, seed: int = 42, giant_repeat: int = 60) -> dict:
         lang = "zh"
     elif family == "regionsplit":
         toks = _invoice_zh_doc(r, seq, region_split=True)
+        html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
+        lang = "zh"
+    elif family == "zhspecial":
+        toks = _invoice_zh_special_doc(r, seq)
         html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
         lang = "zh"
     elif family == "splitanchor":

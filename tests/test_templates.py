@@ -218,3 +218,65 @@ def test_end_to_end_envelope_complete():
     fields = json.loads(res.fields_json)
     assert fields["invoice_no"] == "INV-000011"
     assert fields["total_amount"] == sum(i["amount"] for i in fields["items"])
+
+
+class TestZhSpecialTemplate:
+    """Third builtin template (the reference ships three: general /
+    special / special-property — einvoice_vat_special_property.json
+    differs by title part, one extra required score-3 anchor, and
+    cert/area table headers).  Dispatch semantics under test: required-
+    anchor rejection and min_score."""
+
+    def _special_doc(self, seq=7):
+        import random
+
+        from doc_ocr_spark.datagen import _invoice_zh_special_doc, _pdftok_bytes
+
+        return _pdftok_bytes(_invoice_zh_special_doc(random.Random(5), seq))
+
+    def _general_doc(self, seq=7):
+        import random
+
+        from doc_ocr_spark.datagen import _invoice_zh_doc, _pdftok_bytes
+
+        return _pdftok_bytes(_invoice_zh_doc(random.Random(5), seq))
+
+    def test_special_doc_dispatches_to_special_template(self):
+        import json
+
+        from doc_ocr_spark.core.extractor import extract_document
+
+        res = extract_document("u", self._special_doc(), None)
+        assert res.template_name == "invoice_zh_special"
+        assert res.complete, res.errors
+        d = json.loads(res.fields_json)
+        assert d["kind"] == "property"
+        assert d["items"][0]["cert_no"].startswith("证")
+        assert isinstance(d["items"][0]["area"], float)
+        assert d["total_amount"] == sum(i["amount"] for i in d["items"])
+
+    def test_general_doc_rejected_by_special_required_anchor(self):
+        from doc_ocr_spark.core.builtin_templates import INVOICE_ZH_SPECIAL
+        from doc_ocr_spark.core.extractor import extract_document
+
+        # only the special template offered: the general zh doc has no
+        # 产权证号 anchor -> required-anchor miss -> no match
+        res = extract_document("u", self._general_doc(), [INVOICE_ZH_SPECIAL])
+        assert res.template_name is None
+        assert "template_not_matched" in res.errors
+
+    def test_special_doc_rejected_by_general_min_score(self):
+        from doc_ocr_spark.core.builtin_templates import INVOICE_ZH
+        from doc_ocr_spark.core.extractor import extract_document
+
+        # only the general template offered: special title lacks the
+        # 普通发票 part -> score stays below min_score -> no match
+        res = extract_document("u", self._special_doc(), [INVOICE_ZH])
+        assert res.template_name is None
+        assert "template_not_matched" in res.errors
+
+    def test_full_template_set_prefers_special_for_special_doc(self):
+        from doc_ocr_spark.core.extractor import extract_document
+
+        res = extract_document("u", self._general_doc(), None)
+        assert res.template_name == "invoice_zh"
