@@ -203,18 +203,24 @@ def tokenize_html_htmlparser(html: str) -> list[Block]:
 # - '<' not starting a construct falls through as literal text
 _TAG_RE = re.compile(
     r"""<(?:
-        !--.*?(?:-->|$)                 # comment (possibly unterminated)
-      | !\[CDATA\[.*?(?:\]\]>|$)        # CDATA section
-      | ![^>]*(?:>|$)                   # doctype / declaration
-      | \?[^>]*(?:>|$)                  # processing instruction
-      | (?P<close>/)?
-        (?P<name>[a-zA-Z][a-zA-Z0-9.:_-]*)
+        !--.*?-->                       # comment
+      | !\[CDATA\[.*?\]\]>              # CDATA section
+      | !(?!--)[^>]*>                   # doctype / declaration (a '<!--'
+                                        #  prefix is ONLY ever a comment —
+                                        #  '<!-->' unterminated = data)
+      | \?[^>]*>                        # processing instruction
+        # NOTE: all constructs REQUIRE their terminator — html.parser
+        # emits an unterminated one at EOF as literal data on close()
+      | /\s*(?P<ename>[a-zA-Z][^\t\n\r\f\ />\x00]*)[^>]*>   # end tag (tolerant name + junk, like parse_endtag)
+      | /(?!\s*[a-zA-Z])[^>]*>          # </ + non-name: bogus comment, swallowed to '>'
+      | (?P<name>[a-zA-Z][^\t\n\r\f\ />\x00]*)  # tolerant name charset (tagfind_tolerant)
         # attrs: quoted strings may contain '>'; a lone quote (e.g. the
         # unquoted value in <p title=it's>) falls through as a single
         # char.  Atomic groups commit each step -> no backtracking blowup
-        # on pathological quote runs.
+        # on pathological quote runs.  A tag left unterminated at EOF is
+        # NOT a match — html.parser emits it as literal text on close().
         (?P<attrs>(?:(?>"[^"]*")|(?>'[^']*')|[^>"']+|["'])*)
-        (?:>|$)
+        >
     )""",
     re.X | re.S,
 )
@@ -242,13 +248,15 @@ def tokenize_html(html: str) -> list[Block]:
             seg = html[pos:m.start()]
             data(unescape(seg) if "&" in seg else seg)
         pos = m.end()
+        ename = m.group("ename")
+        if ename:
+            p.handle_endtag(ename.lower())
+            continue
         name = m.group("name")
         if not name:
-            continue  # comment/doctype/PI/CDATA
+            continue  # comment/doctype/PI/CDATA/bogus end tag
         tag = name.lower()
-        if m.group("close"):
-            p.handle_endtag(tag)
-        elif (m.group("attrs") or "").rstrip().endswith("/"):
+        if (m.group("attrs") or "").rstrip().endswith("/"):
             p.handle_startendtag(tag, [])
         else:
             p.handle_starttag(tag, [])

@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) for the kernel's core invariants.
+
+These complement the example-based suites: the fast HTML scanner must
+track the stdlib oracle on ARBITRARY markup-ish input, normalization
+must be idempotent, and layout clustering must not depend on input
+order (the precondition for distributed byte-identity)."""
+
+import random as _random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_ocr_spark.core.htmltok import tokenize_html, tokenize_html_htmlparser
+from doc_ocr_spark.core.layout import cluster_lines, merge_tokens
+from doc_ocr_spark.core.tokens import (
+    Token,
+    fullwidth_to_halfwidth,
+    normalize_text,
+    parse_number,
+)
+
+# -- HTML scanner equivalence ----------------------------------------------
+
+_tag_names = st.sampled_from(
+    ["div", "p", "a", "span", "nav", "script", "style", "br", "h1", "li", "table"]
+)
+_fragment = st.one_of(
+    st.text(alphabet="abc <>&;#x/=!-?[\n\t", max_size=30),
+    _tag_names.map(lambda t: f"<{t}>"),
+    _tag_names.map(lambda t: f"</{t}>"),
+    _tag_names.map(lambda t: f"<{t} class='x' data-n=\"a>b\">"),
+    st.sampled_from(
+        ["&amp;", "&lt;", "&#65;", "&unknown;", "<!-- c -->", "<!DOCTYPE html>",
+         "<br/>", "<![CDATA[x]]>", "<?pi?>", "<", ">", "&"]
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_fragment, max_size=30))
+def test_scanner_tracks_stdlib_on_arbitrary_markup(parts):
+    """Known out-of-scope divergence: a START tag torn apart by a stray
+    quote (e.g. ``<a"<div ...>``) — stdlib's tolerant attr parser and the
+    scanner pick different tag boundaries there.  Correctness never
+    depends on this (golden + distributed paths share ONE scanner; the
+    stdlib oracle only cross-checks parse quality), so the strategy
+    omits free-floating quotes; quoted attributes are still generated in
+    well-formed fragments above."""
+    html = "".join(parts)
+    assert tokenize_html(html) == tokenize_html_htmlparser(html)
+
+
+# -- normalization ----------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_normalize_text_is_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_fullwidth_to_halfwidth_is_idempotent(s):
+    once = fullwidth_to_halfwidth(s)
+    assert fullwidth_to_halfwidth(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=0, max_value=10**9, allow_nan=False).map(
+        lambda x: round(x, 2)
+    ),
+    st.sampled_from(["", "$", "CNY ", "¥", "  "]),
+    st.sampled_from(["", " USD", "元", "  "]),
+)
+def test_parse_number_strips_decoration(x, prefix, suffix):
+    assert parse_number(f"{prefix}{x}{suffix}") == x
+
+
+# -- layout order-invariance --------------------------------------------
+
+
+def _tokens_from_spec(spec):
+    toks = []
+    for i, (page, yq, xq) in enumerate(spec):
+        x1 = float(xq) * 15.0
+        y1 = float(yq) * 40.0  # y rows far apart vs the 5.0 y_tol
+        toks.append(
+            Token(text=f"t{i}", x1=x1, y1=y1, x2=x1 + 10.0, y2=y1 + 12.0, page=page)
+        )
+    return toks
+
+
+_spec = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_spec, st.integers(min_value=0, max_value=2**31))
+def test_cluster_lines_is_input_order_invariant(spec, seed):
+    """Shuffled token input must produce identical lines — the property
+    that makes the distributed kernel's output independent of shuffle
+    arrival order (SURVEY.md §7.4.1)."""
+    toks = _tokens_from_spec(spec)
+    shuffled = list(toks)
+    _random.Random(seed).shuffle(shuffled)
+
+    def canon(lines):
+        return [
+            (ln.page, ln.y_center, [t.text for t in ln.sorted_items()])
+            for ln in lines
+        ]
+
+    assert canon(cluster_lines(toks)) == canon(cluster_lines(shuffled))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_spec, st.floats(min_value=0.0, max_value=50.0))
+def test_merge_tokens_preserves_text_multiset(spec, max_x_gap):
+    """Merging may concatenate but never drop or duplicate characters."""
+    toks = sorted(_tokens_from_spec(spec), key=lambda t: t.x1)
+    merged = merge_tokens(toks, max_x_gap=max_x_gap, merge_single_char=False)
+    assert "".join(t.text for t in merged) == "".join(t.text for t in toks)
