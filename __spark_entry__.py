@@ -23,6 +23,7 @@ from doc_ocr_spark.operators import (
     relational3,
     sessionize,
     similarity,
+    streaming_ops,
     textstats,
 )
 
@@ -36,6 +37,7 @@ _MODULES = (
     similarity,
     extraction,
     multimodal,
+    streaming_ops,
 )
 
 

@@ -1,0 +1,45 @@
+"""Driver-contract entry for the Structured Streaming path.
+
+``streaming_hourly_agg`` runs the REAL stream (file source over the
+events parquet, event-time tumbling windows, watermark, availableNow
+trigger, memory sink) to completion and returns the sink — so the
+driver's DuckDB hash gate checks STREAMING results, not just the batch
+twin.  The oracle is identical to events_hourly_windows: with all data
+available at start, a finished stream must equal the batch aggregation.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from doc_ocr_spark.operators.relational3 import HOURLY_SQL
+
+_COUNTER = itertools.count()
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """The file stream source wants a DIRECTORY of arriving files;
+    expose the single events parquet through a symlink dir."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/doc_ocr_spark_stream/{key}/events"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_ocr_spark.streaming.windows import streaming_hourly_windows
+
+    name = f"stream_hourly_gate_{next(_COUNTER)}"
+    return streaming_hourly_windows(
+        spark, _as_stream_dir(sf_dir), query_name=name
+    )
+
+
+ORACLES = {"streaming_hourly_agg": HOURLY_SQL}
+QUERIES = {"streaming_hourly_agg": streaming_hourly_agg}
