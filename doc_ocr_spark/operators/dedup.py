@@ -308,12 +308,99 @@ SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
 FROM pos GROUP BY doc_id
 """
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — the step after pair generation in a
+    real dedup pipeline: connected components over the LSH-verified
+    pair graph, keeper = min doc_id per component.
+
+    Spark side is Pregel-style min-label propagation iterated to
+    fixpoint (each round: label = min(own, neighbours'); a driver loop
+    over fully distributed joins — the iteration count is the graph
+    diameter, which for near-dup clusters is tiny).  The DuckDB oracle
+    computes the same fixpoint via a recursive-CTE transitive closure
+    (fine at oracle scale, NOT the scale path).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge list, cached: every iteration joins against it
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(20):  # diameter bound; converges in 2-3 rounds here
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    keepers = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("keep_id"))
+    return labels.join(keepers, "cluster_id").select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("keep_id")).alias("is_keeper")
+    )
+
+
+# Oracle: symmetric closure via recursive CTE, component id = min over
+# the reachable set (small pair graph at oracle SF — the Spark side is
+# the scale path).
+CLUSTERS_SQL = f"""
+WITH RECURSIVE base AS (
+  {MINHASH_SQL.strip()}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM base
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM base
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+keep AS (
+  SELECT cluster_id, min(doc_id) AS keep_id FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, c.doc_id = k.keep_id AS is_keeper
+FROM comp c JOIN keep k USING (cluster_id)
+"""
+
+
 ORACLES = {
     "dedup_exact": EXACT_SQL,
     "ngram_jaccard_pairs": JACCARD_SQL,
     "minhash_lsh_pairs": MINHASH_SQL,
     "simhash16": SIMHASH_SQL,
     "fingerprint_winnow": FINGERPRINT_SQL,
+    "dedup_clusters": CLUSTERS_SQL,
 }
 
 QUERIES = {
@@ -322,4 +409,5 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash16": simhash16,
     "fingerprint_winnow": fingerprint_winnow,
+    "dedup_clusters": dedup_clusters,
 }
