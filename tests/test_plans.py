@@ -65,3 +65,26 @@ def test_operator_queries_are_codegen(spark):
     assert wholestage_codegen_spans(q1_pricing_summary(spark, "/root/testdata/sf0.001")) >= 1
     plan = explain_str(simhash16(spark, "/root/testdata/sf0.001"), "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join via bucketBy: two tables bucketed 8-ways on the
+    join key must hash-join with ZERO exchanges (the 100 TB technique
+    for repeated large-large joins — shuffle paid once at write time)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").format("parquet").saveAsTable("orders_b"))
+    (customer.write.mode("overwrite").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").format("parquet").saveAsTable("customer_b"))
+    joined = (
+        spark.table("orders_b")
+        .hint("merge")  # force SMJ so bucketing (not broadcast) is what's proven
+        .join(spark.table("customer_b"),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    plan = explain_str(joined, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
