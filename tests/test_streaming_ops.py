@@ -109,3 +109,41 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, events_dir):
     assert _rows_set(got, cols) == _rows_set(closed, cols)
     # and state survives across micro-batches: same result with the
     # input split across two files processed in two triggers
+
+
+def test_streaming_url_dedup_across_batches(spark, tmp_path):
+    """transformWithStateInPandas: a url seen in an earlier micro-batch
+    is dropped in later ones (incremental-crawl resume semantics);
+    within-batch duplicates keep one row too."""
+    from doc_ocr_spark.datagen import generate_pages
+    from doc_ocr_spark.streaming.dedup import streaming_dedup_urls
+
+    d = tmp_path / "pages_in"
+    d.mkdir()
+    pages = generate_pages(30, seed=11)
+    rows1 = [(p["url"], p["warc_ts"], bytes(p["html"]), p["text"], p["lang"])
+             for p in pages[:20]]
+    # second file overlaps 10 urls and adds 10 new + an in-batch dup
+    rows2 = [(p["url"], p["warc_ts"], bytes(p["html"]), p["text"], p["lang"])
+             for p in pages[10:30]] + [
+        (pages[10]["url"], pages[10]["warc_ts"], bytes(pages[10]["html"]),
+         pages[10]["text"], pages[10]["lang"])
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(d / "f2"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, sub in enumerate(("f1", "f2")):
+        for f in os.listdir(d / sub):
+            if f.endswith(".parquet"):
+                shutil.move(str(d / sub / f), str(flat / f"{sub}.parquet"))
+        now = time.time()
+        os.utime(str(flat / f"{sub}.parquet"), (now - 100 + i, now - 100 + i))
+
+    got = streaming_dedup_urls(
+        spark, str(flat), query_name="url_dedup_t", max_files_per_trigger=1
+    )
+    urls = [r.url for r in got.collect()]
+    assert len(urls) == 30            # one row per distinct url, ever
+    assert len(set(urls)) == 30
