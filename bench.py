@@ -42,6 +42,7 @@ HEADLINE = [
     "quality_score",
     "ann_cosine_topk",
     "ann_ivf_bucketed",
+    "ann_ivf_kmeans",
     "embedding_cosine_dedup",
     "moving_avg_order_price",
     "order_quantiles_by_priority",

@@ -443,11 +443,154 @@ WHERE round((CAST(dot AS DOUBLE) / {_S_SQL}) / (qn * cn), 6) >= {DEDUP_TAU}
 """
 
 
+N_KMEANS_ROUNDS = 2  # init-assign -> update -> re-assign
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with real Lloyd refinement: seed centroids (vec_id <
+    N_CENTROIDS), then iterate [assign -> recompute centroid means].
+
+    Exactness discipline: every float reduction (dots, norms, centroid
+    means) is a scaled-long integer sum, and divisions are written in
+    one fixed order — so after any number of rounds the assignment is
+    bit-identical between Spark and DuckDB (the oracle runs the same
+    unrolled iteration).  Work per round: one (vector x centroid x dim)
+    join + two aggs, all JVM-side.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"),
+        F.element_at("embedding", F.col("i")).cast("double").alias("val"),
+    )
+    vnorm = expl.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(scaled_long(F.col("val") * F.col("val"), _S)).cast("double") / _S
+        ).alias("vn")
+    )
+    cents = expl.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "i", F.col("val").alias("cval")
+    )
+
+    assign = None
+    for _round in range(N_KMEANS_ROUNDS):
+        cnorm = cents.groupBy("cid").agg(
+            F.sqrt(
+                F.sum(scaled_long(F.col("cval") * F.col("cval"), _S)).cast("double")
+                / _S
+            ).alias("cn")
+        )
+        dots = (
+            expl.join(cents, "i")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(scaled_long(F.col("val") * F.col("cval"), _S)).alias("dot"))
+        )
+        sims = (
+            dots.join(vnorm, "vec_id")
+            .join(cnorm, "cid")
+            .select(
+                "vec_id",
+                "cid",
+                (
+                    (F.col("dot").cast("double") / _S) / (F.col("vn") * F.col("cn"))
+                ).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cid").asc()
+        )
+        assign = (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "sim")
+        )
+        if _round < N_KMEANS_ROUNDS - 1:
+            cents = (
+                expl.join(assign.select("vec_id", "cid"), "vec_id")
+                .groupBy("cid", "i")
+                .agg(
+                    (
+                        F.sum(scaled_long(F.col("val"), _S)).cast("double")
+                        / F.count(F.lit(1))
+                        / _S
+                    ).alias("cval")
+                )
+            )
+    return assign.select(
+        "vec_id", F.col("cid").alias("bucket"), F.round("sim", 6).alias("sim")
+    )
+
+
+def _kmeans_sql() -> str:
+    rounds = []
+    prev_cents = f"""
+cents0 AS MATERIALIZED (
+  SELECT vec_id AS cid, i, val AS cval FROM expl2 WHERE vec_id < {N_CENTROIDS}
+)"""
+    ctes = [
+        f"""
+expl AS (
+  SELECT vec_id, unnest(generate_series(1, {DIM})) AS i, embedding AS e
+  FROM embeddings
+),
+expl2 AS MATERIALIZED (SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS val FROM expl),
+vnorm AS MATERIALIZED (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(val * val * {_S_SQL}) AS BIGINT)) AS DOUBLE) / {_S_SQL}) AS vn
+  FROM expl2 GROUP BY vec_id
+),{prev_cents}"""
+    ]
+    for r in range(N_KMEANS_ROUNDS):
+        ctes.append(f"""
+cnorm{r} AS MATERIALIZED (
+  SELECT cid,
+         sqrt(CAST(sum(CAST(floor(cval * cval * {_S_SQL}) AS BIGINT)) AS DOUBLE) / {_S_SQL}) AS cn
+  FROM cents{r} GROUP BY cid
+),
+dots{r} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         sum(CAST(floor(e.val * c.cval * {_S_SQL}) AS BIGINT)) AS dot
+  FROM expl2 e JOIN cents{r} c USING (i)
+  GROUP BY e.vec_id, c.cid
+),
+assign{r} AS MATERIALIZED (
+  SELECT vec_id, cid, sim FROM (
+    SELECT d.vec_id, d.cid,
+           (CAST(d.dot AS DOUBLE) / {_S_SQL}) / (v.vn * c.cn) AS sim,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY (CAST(d.dot AS DOUBLE) / {_S_SQL}) / (v.vn * c.cn) DESC,
+                                       d.cid) AS rn
+    FROM dots{r} d JOIN vnorm v USING (vec_id) JOIN cnorm{r} c USING (cid)
+  ) WHERE rn = 1
+)""")
+        if r < N_KMEANS_ROUNDS - 1:
+            ctes.append(f"""
+cents{r + 1} AS MATERIALIZED (
+  SELECT a.cid, e.i,
+         CAST(sum(CAST(floor(e.val * {_S_SQL}) AS BIGINT)) AS DOUBLE) / count(*) / {_S_SQL} AS cval
+  FROM expl2 e JOIN assign{r} a USING (vec_id)
+  GROUP BY a.cid, e.i
+)""")
+        rounds.append(r)
+    last = rounds[-1]
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT vec_id, cid AS bucket, round(sim, 6) AS sim FROM assign{last}
+"""
+    )
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
 ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_ivf_bucketed": IVF_SQL,
     "ann_nn_within_bucket": NN_BUCKET_SQL,
     "embedding_cosine_dedup": EMB_DEDUP_SQL,
+    "ann_ivf_kmeans": KMEANS_SQL,
 }
 
 QUERIES = {
@@ -455,4 +598,5 @@ QUERIES = {
     "ann_ivf_bucketed": ann_ivf_bucketed,
     "ann_nn_within_bucket": ann_nn_within_bucket,
     "embedding_cosine_dedup": embedding_cosine_dedup,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
 }
