@@ -62,8 +62,13 @@ def _parse_pdftok(payload: bytes) -> list[Token]:
     ~8% of kernel time under cProfile); JSON-lines semantics are
     unchanged — blank lines skipped, any malformed line fails the doc
     into the parse_error taxonomy row exactly as before."""
+    # strip each line (old per-line behaviour): \x0b/\x0c padding is not
+    # JSON whitespace, so unstripped lines would turn previously-valid
+    # payloads into parse_error rows
     lines = [
-        raw for raw in payload[len(PDFTOK_MAGIC):].split(b"\n") if raw.strip()
+        raw.strip()
+        for raw in payload[len(PDFTOK_MAGIC):].split(b"\n")
+        if raw.strip()
     ]
     if not lines:
         return []

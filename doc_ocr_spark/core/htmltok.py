@@ -69,7 +69,7 @@ class Block:
 class _ParserState:
     blocks: list[Block] = field(default_factory=list)
     parts: list[str] = field(default_factory=list)
-    link_words: int = 0
+    link_parts: list[str] = field(default_factory=list)
     cur_tag: str = "body"
     cur_depth: int = 0
     chrome_depth: int = 0
@@ -95,8 +95,12 @@ class _BlockParser(HTMLParser):
         st = self.st
         raw = " ".join("".join(st.parts).split())
         st.parts = []
-        link_words = st.link_words
-        st.link_words = 0
+        # link words counted over the COLLAPSED anchor text, so the
+        # count is independent of how the parser chunked handle_data
+        # calls (parser-granularity-proof — required for fast-scanner /
+        # stdlib equivalence on literal '<' inside anchors)
+        link_words = len("".join(st.link_parts).split())
+        st.link_parts = []
         if not raw:
             return
         words = raw.split()
@@ -147,6 +151,9 @@ class _BlockParser(HTMLParser):
                     st.chrome_depth = max(0, st.chrome_depth - 1)
                 if popped == "a":
                     st.anchor_depth = max(0, st.anchor_depth - 1)
+                    # word boundary between ADJACENT anchors, so two
+                    # link texts never fuse into one counted word
+                    st.link_parts.append(" ")
                 if popped == tag:
                     break
         if st.skip_depth:
@@ -166,7 +173,7 @@ class _BlockParser(HTMLParser):
             return
         st.parts.append(data)
         if st.anchor_depth:
-            st.link_words += len(data.split())
+            st.link_parts.append(data)
 
     def _nearest_block_tag(self) -> str:
         for t in reversed(self._stack):
@@ -213,20 +220,24 @@ _TAG_RE = re.compile(
         # emits an unterminated one at EOF as literal data on close()
       | /\s*(?P<ename>[a-zA-Z][^\t\n\r\f\ />\x00]*)[^>]*>   # end tag (tolerant name + junk, like parse_endtag)
       | /(?!\s*[a-zA-Z])[^>]*>          # </ + non-name: bogus comment, swallowed to '>'
-      | (?P<name>[a-zA-Z][^\t\n\r\f\ />\x00]*)  # tolerant name charset (tagfind_tolerant)
-        # attrs: quoted strings may contain '>'; a lone quote (e.g. the
-        # unquoted value in <p title=it's>) falls through as a single
-        # char.  Atomic groups commit each step -> no backtracking blowup
-        # on pathological quote runs.  A tag left unterminated at EOF is
-        # NOT a match — html.parser emits it as literal text on close().
-        (?P<attrs>(?:(?>"[^"]*")|(?>'[^']*')|[^>"']+|["'])*)
-        >
+      | (?P<name>[a-zA-Z][^\t\n\r\f\ />\x00]*)  # tolerant name charset (tagfind_tolerant);
+                                        # the start-tag END is found by the
+                                        # stdlib's own attr machinery below
     )""",
     re.X | re.S,
 )
 _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.I) for t in ("script", "style")
 }
+
+# Start tags delegate to the stdlib parser's OWN parse_starttag (linear
+# time, one call per tag): attr semantics — quoted '>', unquoted values
+# absorbing a trailing '/' (NOT self-closing), the data-bail path for
+# malformed tags, startendtag detection — are stdlib-identical by
+# construction.  The previous hand-rolled attrs pattern was both subtly
+# wrong for unquoted values ending in '/' (misread as self-closing) and
+# exponential on unterminated tags with runs of lone quotes; found by
+# review + execution, regression-tested below and in test_htmltok.
 
 
 def tokenize_html(html: str) -> list[Block]:
@@ -237,6 +248,7 @@ def tokenize_html(html: str) -> list[Block]:
     (never a thrown task).
     """
     p = _BlockParser()
+    p.rawdata = html  # parse_starttag reads self.rawdata at an offset
     data = p.handle_data
     n = len(html)
     pos = 0
@@ -256,20 +268,28 @@ def tokenize_html(html: str) -> list[Block]:
         if not name:
             continue  # comment/doctype/PI/CDATA/bogus end tag
         tag = name.lower()
-        if (m.group("attrs") or "").rstrip().endswith("/"):
-            p.handle_startendtag(tag, [])
-        else:
-            p.handle_starttag(tag, [])
-            cdata = _CDATA_CLOSE.get(tag)
-            if cdata is not None:
-                cm = cdata.search(html, pos)
-                if cm is None:
-                    pos = n  # unterminated script/style swallows the rest
-                else:
-                    # body skipped entirely: _BlockParser drops it anyway
-                    # (skip_depth > 0), so not emitting it is equivalent
-                    p.handle_endtag(tag)
-                    pos = cm.end()
+        # start tag: run the stdlib's own parse_starttag at this offset
+        # (fires handle_starttag / handle_startendtag / the data-bail
+        # exactly like the oracle; returns the end offset, -1 if the
+        # tag is unterminated at EOF)
+        i = m.start()
+        endpos = p.parse_starttag(i)
+        if endpos < 0:
+            # unterminated -> literal trailing data (tail handler below)
+            pos = i
+            break
+        pos = endpos
+        if p.cdata_elem is not None:  # parse_starttag entered CDATA mode
+            p.clear_cdata_mode()
+            cdata = _CDATA_CLOSE[tag]
+            cm = cdata.search(html, pos)
+            if cm is None:
+                pos = n  # unterminated script/style swallows the rest
+            else:
+                # body skipped entirely: _BlockParser drops it anyway
+                # (skip_depth > 0), so not emitting it is equivalent
+                p.handle_endtag(tag)
+                pos = cm.end()
     if pos < n:
         seg = html[pos:]
         data(unescape(seg) if "&" in seg else seg)

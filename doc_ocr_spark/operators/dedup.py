@@ -331,13 +331,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
     )
-    for _ in range(20):  # diameter bound; converges in 2-3 rounds here
+    labels.count()  # materialize round 0
+    converged = False
+    for _ in range(30):  # >= worst-case component diameter at this SF
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
+        # persist each round: the convergence-check action and the next
+        # round both consume `updated`; without it every round replays
+        # the whole iterative lineage (O(rounds^2)) and the plan grows
+        # unboundedly — the standard Pregel-on-DataFrames discipline
         updated = (
             labels.join(neigh, "doc_id", "left")
             .select(
@@ -347,6 +354,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
+            .persist()
         )
         changed = (
             updated.alias("u")
@@ -355,10 +363,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = updated
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent truncation would split real clusters (multiple keepers
+        # survive dedup) — fail loudly instead
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge within "
+            "the round budget; raise the bound for this graph"
+        )
     keepers = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("keep_id"))
     return labels.join(keepers, "cluster_id").select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("keep_id")).alias("is_keeper")

@@ -29,6 +29,8 @@ TOP_K = 5
 
 _S = 1e12  # fix-point scale for per-element products (|p| < 1e3)
 _S_SQL = "1000000000000.0"
+_SM = 1e6  # scale for unbounded-cardinality accumulators (k-means means)
+_SM_SQL = "1000000.0"
 
 
 def _norms(emb: DataFrame) -> DataFrame:
@@ -505,14 +507,20 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cid", "sim")
         )
         if _round < N_KMEANS_ROUNDS - 1:
+            # mean accumulator uses the SMALL scale (1e6): unlike every
+            # other scaled sum here (bounded by DIM=64 terms), this one
+            # adds a term PER ASSIGNED VECTOR — at 1e12 a BIGINT would
+            # silently wrap at ~9.2e6 members/centroid in Spark while
+            # DuckDB promotes to HUGEINT, breaking engine parity at the
+            # 100 TB design point.  1e6 defers overflow to ~9.2e12.
             cents = (
                 expl.join(assign.select("vec_id", "cid"), "vec_id")
                 .groupBy("cid", "i")
                 .agg(
                     (
-                        F.sum(scaled_long(F.col("val"), _S)).cast("double")
+                        F.sum(scaled_long(F.col("val"), _SM)).cast("double")
                         / F.count(F.lit(1))
-                        / _S
+                        / _SM
                     ).alias("cval")
                 )
             )
@@ -567,7 +575,7 @@ assign{r} AS MATERIALIZED (
             ctes.append(f"""
 cents{r + 1} AS MATERIALIZED (
   SELECT a.cid, e.i,
-         CAST(sum(CAST(floor(e.val * {_S_SQL}) AS BIGINT)) AS DOUBLE) / count(*) / {_S_SQL} AS cval
+         CAST(sum(CAST(floor(e.val * {_SM_SQL}) AS BIGINT)) AS DOUBLE) / count(*) / {_SM_SQL} AS cval
   FROM expl2 e JOIN assign{r} a USING (vec_id)
   GROUP BY a.cid, e.i
 )""")

@@ -22,13 +22,24 @@ _COUNTER = itertools.count()
 
 def _as_stream_dir(sf_dir: str) -> str:
     """The file stream source wants a DIRECTORY of arriving files;
-    expose the single events parquet through a symlink dir."""
-    key = sf_dir.strip("/").replace("/", "_")
+    expose the single events parquet through a symlink dir.
+
+    Key = hash of the resolved absolute path (a flattened path string
+    collides: '/d/sf0_1' vs '/d/sf0/1'); lexists so a dangling symlink
+    from a regenerated corpus is replaced instead of crashing."""
+    import hashlib
+
+    target = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(target.encode()).hexdigest()[:16]
     d = f"/tmp/doc_ocr_spark_stream/{key}/events"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-000.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    if os.path.lexists(link):
+        if os.path.realpath(link) != target:
+            os.remove(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     return d
 
 

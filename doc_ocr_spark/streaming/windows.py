@@ -25,13 +25,13 @@ window's hash exchange, and the watermark is what keeps state bounded.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-from doc_ocr_spark.streaming.ingest import PAGES_SCHEMA  # noqa: F401  (re-export site)
 
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
@@ -39,6 +39,15 @@ EVENTS_SCHEMA = (
 )
 SESSION_GAP_S = 300  # keep identical to operators/sessionize.py
 _S = 1000000.0
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Match Spark's F.round on DOUBLE (BigDecimal.valueOf -> HALF_UP on
+    the shortest decimal repr).  Python's round() is banker's rounding
+    on the exact binary value and differs on tie digits, which would
+    break stream/batch sum parity."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _read_events_stream(
@@ -140,7 +149,8 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
                 cur_start, cur_end, cur_n, cur_sum = t, t, 1, scaled
             elif t - cur_end > SESSION_GAP_S:
                 out_rows.append(
-                    (user_id, next_sid, cur_n, cur_start, cur_end, round(cur_sum / _S, 4))
+                    (user_id, next_sid, cur_n, cur_start, cur_end,
+                     _round_half_up(cur_sum / _S, 4))
                 )
                 next_sid += 1
                 cur_start, cur_end, cur_n, cur_sum = t, t, 1, scaled

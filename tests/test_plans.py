@@ -71,10 +71,17 @@ def test_bucketed_tables_join_without_shuffle(spark):
     """Co-located join via bucketBy: two tables bucketed 8-ways on the
     join key must hash-join with ZERO exchanges (the 100 TB technique
     for repeated large-large joins — shuffle paid once at write time)."""
+    import shutil
+
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse DIRECTORY persists; clear it or saveAsTable refuses
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "customer_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
      .sortBy("o_custkey").format("parquet").saveAsTable("orders_b"))
     (customer.write.mode("overwrite").bucketBy(8, "c_custkey")

@@ -7,7 +7,7 @@ order (the precondition for distributed byte-identity)."""
 
 import random as _random
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from doc_ocr_spark.core.htmltok import tokenize_html, tokenize_html_htmlparser
@@ -25,7 +25,7 @@ _tag_names = st.sampled_from(
     ["div", "p", "a", "span", "nav", "script", "style", "br", "h1", "li", "table"]
 )
 _fragment = st.one_of(
-    st.text(alphabet="abc <>&;#x/=!-?[\n\t", max_size=30),
+    st.text(alphabet="abc <>&;#x/='\"!-?[\n\t", max_size=30),
     _tag_names.map(lambda t: f"<{t}>"),
     _tag_names.map(lambda t: f"</{t}>"),
     _tag_names.map(lambda t: f"<{t} class='x' data-n=\"a>b\">"),
@@ -39,15 +39,20 @@ _fragment = st.one_of(
 @settings(max_examples=300, deadline=None)
 @given(st.lists(_fragment, max_size=30))
 def test_scanner_tracks_stdlib_on_arbitrary_markup(parts):
-    """Known out-of-scope divergence: a START tag torn apart by a stray
-    quote (e.g. ``<a"<div ...>``) — stdlib's tolerant attr parser and the
-    scanner pick different tag boundaries there.  Correctness never
-    depends on this (golden + distributed paths share ONE scanner; the
-    stdlib oracle only cross-checks parse quality), so the strategy
-    omits free-floating quotes; quoted attributes are still generated in
-    well-formed fragments above."""
+    """Start tags run through the stdlib's own parse_starttag, so even
+    torn/malformed tags with stray quotes must match the oracle.
+
+    The one excluded class: marked sections like ``<![if ...`` CRASH the
+    stdlib parser itself (CPython _markupbase AssertionError) — the fast
+    scanner treats them as data/skip instead of raising, which is the
+    correct behaviour for a crawler kernel, so those inputs are skipped
+    rather than compared."""
     html = "".join(parts)
-    assert tokenize_html(html) == tokenize_html_htmlparser(html)
+    try:
+        expected = tokenize_html_htmlparser(html)
+    except AssertionError:
+        assume(False)
+    assert tokenize_html(html) == expected
 
 
 # -- normalization ----------------------------------------------------------

@@ -275,8 +275,20 @@ class TestZhSpecialTemplate:
         assert res.template_name is None
         assert "template_not_matched" in res.errors
 
-    def test_full_template_set_prefers_special_for_special_doc(self):
+    def test_general_doc_keeps_general_template_with_full_set(self):
         from doc_ocr_spark.core.extractor import extract_document
 
         res = extract_document("u", self._general_doc(), None)
         assert res.template_name == "invoice_zh"
+
+    def test_special_doc_wins_over_general_when_both_offered(self):
+        from doc_ocr_spark.core.builtin_templates import (
+            INVOICE_ZH,
+            INVOICE_ZH_SPECIAL,
+        )
+        from doc_ocr_spark.core.extractor import extract_document
+
+        res = extract_document(
+            "u", self._special_doc(), [INVOICE_ZH, INVOICE_ZH_SPECIAL]
+        )
+        assert res.template_name == "invoice_zh_special"
