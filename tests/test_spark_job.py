@@ -125,3 +125,20 @@ def test_skew_split_spreads_giants(spark, tmp_path):
         .count()
     )
     assert parts >= 3
+
+
+def test_pre_exchange_path_matches_golden(spark, corpus_path, tmp_path):
+    """--exchange pre (input-side salted repartition + giant sub-split)
+    must produce byte-identical output to the golden run, like the
+    default post-kernel exchange."""
+    out = str(tmp_path / "out_pre")
+    m = run_extraction(spark, corpus_path, out, n_buckets=8, exchange="pre")
+    assert m["docs"] == N_DOCS
+    result = spark.read.parquet(out)
+    assert (
+        compare_to_golden(
+            _rows(result.drop("part_bucket", "bytes_in", "extractor_version")),
+            golden_rows(N_DOCS),
+        )
+        == []
+    )
