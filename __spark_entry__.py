@@ -21,6 +21,7 @@ from doc_ocr_spark.operators import (
     relational,
     relational2,
     relational3,
+    relational4,
     sessionize,
     similarity,
     streaming_ops,
@@ -31,6 +32,7 @@ _MODULES = (
     relational,
     relational2,
     relational3,
+    relational4,
     sessionize,
     dedup,
     textstats,

@@ -1,0 +1,123 @@
+"""Fourth relational batch: Spark-native session windows (the built-in
+form of the manual lag/cumsum sessionizer), explicit GROUPING SETS, and
+an IN-subquery (Catalyst decorrelation).  Parity discipline as always.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.operators import load, scaled_long, scaled_sum, scaled_sum_sql
+
+_S = 1000000.0
+_S_SQL = "1000000.0"
+GAP = "300 seconds"
+GAP_S = 300
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window — the BUILT-IN gap sessionizer (vs the manual
+    lag->flag->cumsum in sessionize.py; both expose L1's y-gap
+    clustering over time).
+
+    Boundary semantics (and the oracle's): an event at EXACTLY
+    last_ts + gap starts a NEW session — Spark sessions span
+    [start, last+gap), so the SQL split predicate is ``>= gap``,
+    unlike sessionize_events' ``> gap``.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(scaled_long(F.col("value"), _S)).cast("double") / _S, 4
+            ).alias("sum_value"),
+            F.min(F.unix_timestamp("ts")).alias("start_s"),
+            F.max(F.unix_timestamp("ts")).alias("end_s"),
+        )
+        .select("user_id", "start_s", "end_s", "n_events", "sum_value")
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
+         WHEN ts_s - lag(ts_s) OVER w >= {GAP_S} THEN 1
+         ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts_s) AS start_s, max(ts_s) AS end_s,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(floor(value * {_S_SQL}) AS BIGINT)) AS DOUBLE) / {_S_SQL}, 4) AS sum_value
+FROM sid GROUP BY user_id, session_id
+"""
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — the general form
+    of which rollup/cube are special cases; one pass, two groupings."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS INT) AS gid,
+               {scaled_sum_sql("o_totalprice", _S_SQL, 2)} AS total,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       {scaled_sum_sql("o_totalprice", _S_SQL, 2)} AS total,
+       count(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def high_value_customers_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (Catalyst rewrites to a left-semi join — subquery
+    decorrelation, SURVEY.md §4's 'free from Catalyst' row)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("orders_sq")
+    c.createOrReplaceTempView("customer_sq")
+    return spark.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer_sq
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders_sq WHERE o_totalprice > 400000
+        )
+    """)
+
+
+IN_SUBQUERY_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+ORACLES = {
+    "session_window_events": SESSION_WINDOW_SQL,
+    "revenue_grouping_sets": GROUPING_SETS_SQL,
+    "high_value_customers_in_subquery": IN_SUBQUERY_SQL,
+}
+
+QUERIES = {
+    "session_window_events": session_window_events,
+    "revenue_grouping_sets": revenue_grouping_sets,
+    "high_value_customers_in_subquery": high_value_customers_in_subquery,
+}

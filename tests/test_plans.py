@@ -95,3 +95,29 @@ def test_bucketed_tables_join_without_shuffle(spark):
     plan = explain_str(joined, "simple")
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The 100 TB estimator (HLL++): approx_count_distinct must land
+    within its configured relative error of the exact count (exact
+    lives in the oracle-gated distinct_parts_per_supplier)."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.06  # 3x rsd
+
+
+def test_in_subquery_decorrelates_to_semi_join(spark):
+    """Catalyst must rewrite the IN-subquery to a (broadcast) semi join
+    — no nested-loop per-row subquery execution."""
+    from doc_ocr_spark.operators.relational4 import (
+        high_value_customers_in_subquery,
+    )
+
+    plan = explain_str(
+        high_value_customers_in_subquery(spark, "/root/testdata/sf0.001"),
+        "simple",
+    )
+    assert "LeftSemi" in plan or "SemiJoin" in plan, plan
