@@ -268,11 +268,26 @@ def tokenize_html(html: str) -> list[Block]:
         if not name:
             continue  # comment/doctype/PI/CDATA/bogus end tag
         tag = name.lower()
-        # start tag: run the stdlib's own parse_starttag at this offset
+        i = m.start()
+        # exact fast path: '<name>' with no attrs at all — nothing for
+        # the attr machinery to decide (the bulk of real tags: <p>,
+        # <div>, <li>, ...)
+        if html.startswith(">", m.end()):
+            p.handle_starttag(tag, [])
+            pos = m.end() + 1
+            cdata = _CDATA_CLOSE.get(tag)
+            if cdata is not None:
+                cm = cdata.search(html, pos)
+                if cm is None:
+                    pos = n
+                else:
+                    p.handle_endtag(tag)
+                    pos = cm.end()
+            continue
+        # otherwise run the stdlib's own parse_starttag at this offset
         # (fires handle_starttag / handle_startendtag / the data-bail
         # exactly like the oracle; returns the end offset, -1 if the
         # tag is unterminated at EOF)
-        i = m.start()
         endpos = p.parse_starttag(i)
         if endpos < 0:
             # unterminated -> literal trailing data (tail handler below)

@@ -147,3 +147,53 @@ def test_streaming_url_dedup_across_batches(spark, tmp_path):
     urls = [r.url for r in got.collect()]
     assert len(urls) == 30            # one row per distinct url, ever
     assert len(set(urls)) == 30
+
+
+def test_streaming_native_session_window(spark, events_dir):
+    """F.session_window in a STREAM (watermark-gated, append mode):
+    sessions finalized by the final watermark must equal the batch
+    session_window_events rows whose window end (last event + gap) is
+    at or before max_event_time - watermark_delay."""
+    from doc_ocr_spark.operators.relational4 import (
+        GAP_S,
+        session_window_events,
+    )
+    from doc_ocr_spark.streaming.windows import EVENTS_SCHEMA
+
+    delay_s = 600
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    agg = (
+        ev.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy("user_id", F.session_window("ts", f"{GAP_S} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("start_s"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.start_s, r.n_events)
+        for r in spark.table("native_sess").collect()
+    }
+
+    batch = session_window_events(spark, SF_DIR).collect()
+    max_ts = spark.read.parquet(f"{SF_DIR}/events.parquet").agg(
+        F.max(F.unix_timestamp("ts"))
+    ).collect()[0][0]
+    watermark = max_ts - delay_s
+    want = {
+        (r.user_id, r.start_s, r.n_events)
+        for r in batch
+        if r.end_s + GAP_S <= watermark  # window end = last event + gap
+    }
+    assert want  # the cut must not be vacuous
+    assert got == want
