@@ -49,6 +49,9 @@ HEADLINE = [
     "distinct_parts_per_supplier",
     "events_hourly_windows",
     "revenue_cube",
+    "session_window_events",
+    "revenue_grouping_sets",
+    "high_value_customers_in_subquery",
     "extract_html_docs",
 ]
 
