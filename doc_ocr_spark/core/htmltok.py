@@ -240,6 +240,17 @@ _CDATA_CLOSE = {
 # review + execution, regression-tested below and in test_htmltok.
 
 
+def _skip_cdata(p: _BlockParser, html: str, tag: str, pos: int, n: int) -> int:
+    """Jump over a script/style CDATA body: no tags until the matching
+    close; unterminated swallows the rest of the document.  The body is
+    never emitted — _BlockParser drops it anyway (skip_depth > 0)."""
+    cm = _CDATA_CLOSE[tag].search(html, pos)
+    if cm is None:
+        return n
+    p.handle_endtag(tag)
+    return cm.end()
+
+
 def tokenize_html(html: str) -> list[Block]:
     """Parse HTML text into an ordered list of visible text blocks.
 
@@ -275,14 +286,8 @@ def tokenize_html(html: str) -> list[Block]:
         if html.startswith(">", m.end()):
             p.handle_starttag(tag, [])
             pos = m.end() + 1
-            cdata = _CDATA_CLOSE.get(tag)
-            if cdata is not None:
-                cm = cdata.search(html, pos)
-                if cm is None:
-                    pos = n
-                else:
-                    p.handle_endtag(tag)
-                    pos = cm.end()
+            if tag in _CDATA_CLOSE:
+                pos = _skip_cdata(p, html, tag, pos, n)
             continue
         # otherwise run the stdlib's own parse_starttag at this offset
         # (fires handle_starttag / handle_startendtag / the data-bail
@@ -296,15 +301,7 @@ def tokenize_html(html: str) -> list[Block]:
         pos = endpos
         if p.cdata_elem is not None:  # parse_starttag entered CDATA mode
             p.clear_cdata_mode()
-            cdata = _CDATA_CLOSE[tag]
-            cm = cdata.search(html, pos)
-            if cm is None:
-                pos = n  # unterminated script/style swallows the rest
-            else:
-                # body skipped entirely: _BlockParser drops it anyway
-                # (skip_depth > 0), so not emitting it is equivalent
-                p.handle_endtag(tag)
-                pos = cm.end()
+            pos = _skip_cdata(p, html, tag, pos, n)
     if pos < n:
         seg = html[pos:]
         data(unescape(seg) if "&" in seg else seg)

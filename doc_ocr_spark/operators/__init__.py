@@ -37,7 +37,18 @@ def scaled_long(c: Column, scale: float) -> Column:
 
 
 def scaled_sum(c: Column, scale: float, digits: int) -> Column:
-    """round(cast(sum(floor(c*scale)) as double) / scale, digits)."""
+    """round(cast(sum(floor(c*scale)) as double) / scale, digits).
+
+    Known residual hazard (verified absent for every query at sf0.001/
+    0.01/0.1): when the quotient's decimal repr lands EXACTLY on a
+    half-digit boundary, Spark's round (HALF_UP on the shortest decimal
+    repr) and DuckDB's round (on the binary double) can differ by one
+    ulp of the last digit.  Where a tie actually occurred
+    (textstats.quality_score at sf0.1) the fix is the
+    ``floor(x * 10^d + 0.5) / 10^d`` pattern on both sides — floor on a
+    bit-identical double is exact in both engines (positive values
+    only; negatives need a sign-aware CASE).
+    """
     return F.round(
         F.sum(scaled_long(c, scale)).cast("double") / F.lit(scale), digits
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doc_ocr_spark.operators import load, scaled_long, scaled_sum, scaled_sum_sql
+from doc_ocr_spark.operators import load, scaled_long, scaled_sum_sql
 
 _S = 1000000.0
 _S_SQL = "1000000.0"
@@ -21,12 +21,19 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag->flag->cumsum in sessionize.py; both expose L1's y-gap
     clustering over time).
 
-    Boundary semantics (and the oracle's): an event at EXACTLY
-    last_ts + gap starts a NEW session — Spark sessions span
-    [start, last+gap), so the SQL split predicate is ``>= gap``,
-    unlike sessionize_events' ``> gap``.
+    Boundary semantics (measured on Spark 4.1 against the sf0.1
+    fixture): an event at EXACTLY last_ts + gap still MERGES — the
+    session end (last + gap) is inclusive for the next event — so the
+    SQL split predicate is ``> gap``, same as sessionize_events.
+
+    Timestamps are floored to whole seconds BEFORE windowing so the
+    fractional-gap boundary cases (a gap in (300, 301) flooring to
+    300) agree exactly with the epoch-seconds oracle — without the
+    floor, 2 of 99k sessions diverged at sf0.1.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
     return (
         e.groupBy("user_id", F.session_window("ts", GAP).alias("w"))
         .agg(
@@ -48,7 +55,7 @@ WITH e AS (
 ), flagged AS (
   SELECT *,
     CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
-         WHEN ts_s - lag(ts_s) OVER w >= {GAP_S} THEN 1
+         WHEN ts_s - lag(ts_s) OVER w > {GAP_S} THEN 1
          ELSE 0 END AS new_session
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
 ), sid AS (

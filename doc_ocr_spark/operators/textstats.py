@@ -72,27 +72,34 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + stop_ratio * 0.3
         + alpha_ratio * 0.3
     )
+    # half-up via floor(x*1e6+0.5): floor on the (bit-identical) double
+    # is exact in both engines, whereas round() differs on decimal ties
+    # — Spark rounds the shortest decimal repr, DuckDB the binary value
+    # (observed: quality exactly 0.5046875 -> 0.504688 vs 0.504687)
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(quality, 6).alias("quality"),
+        r6(stop_ratio).alias("stop_ratio"),
+        r6(alpha_ratio).alias("alpha_ratio"),
+        r6(quality).alias("quality"),
     )
 
 
 QUALITY_SQL = f"""
 SELECT doc_id,
   len(string_split(text, ' ')) AS n_words,
-  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) AS DOUBLE)
-        / len(string_split(text, ' ')), 6) AS stop_ratio,
-  round(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
-        / greatest(length(text), 1), 6) AS alpha_ratio,
-  round(CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100 * 0.4
+  floor(CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) AS DOUBLE)
+        / len(string_split(text, ' ')) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+  floor(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) * 1e6 + 0.5) / 1e6 AS alpha_ratio,
+  floor((CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100 * 0.4
       + CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) AS DOUBLE)
         / len(string_split(text, ' ')) * 0.3
       + CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
-        / greatest(length(text), 1) * 0.3, 6) AS quality
+        / greatest(length(text), 1) * 0.3) * 1e6 + 0.5) / 1e6 AS quality
 FROM documents
 """
 

@@ -161,7 +161,12 @@ def test_streaming_native_session_window(spark, events_dir):
     from doc_ocr_spark.streaming.windows import EVENTS_SCHEMA
 
     delay_s = 600
-    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        # same whole-second floor as the batch twin (see relational4)
+        .withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
+    )
     agg = (
         ev.withWatermark("ts", f"{delay_s} seconds")
         .groupBy("user_id", F.session_window("ts", f"{GAP_S} seconds").alias("w"))
