@@ -193,13 +193,15 @@ def tokenize_html_htmlparser(html: str) -> list[Block]:
     return p.st.blocks
 
 
-# -- fast single-regex scanner -------------------------------------------
+# -- fast scanner ----------------------------------------------------------
 #
-# html.parser spends most of its time in per-tag regex dispatch
+# html.parser spends most of its time in per-construct regex dispatch
 # (parse_starttag/parse_endtag were ~45% of the HTML kernel path under
-# cProfile).  This scanner walks the document with ONE compiled regex and
-# feeds the SAME _BlockParser state machine, so block semantics are
-# identical by construction; the stdlib path remains as the oracle.
+# cProfile).  This scanner mirrors goahead's dispatch structure — find
+# '<' (C-speed str.find), branch on the next character — but with
+# compiled whole-construct regexes for end tags/comments/decls/PIs and a
+# bare-tag fast path, feeding the SAME _BlockParser state machine; the
+# stdlib path remains as the oracle.
 #
 # Replicated html.parser behaviours (convert_charrefs=True):
 # - tag names case-folded; attributes tolerated incl. quoted '>'
@@ -207,25 +209,17 @@ def tokenize_html_htmlparser(html: str) -> list[Block]:
 # - comments / doctype / CDATA sections / processing instructions skipped
 # - script/style bodies are CDATA: no tags until the matching close;
 #   unterminated -> rest of document swallowed
-# - '<' not starting a construct falls through as literal text
-_TAG_RE = re.compile(
-    r"""<(?:
-        !--.*?-->                       # comment
-      | !\[CDATA\[.*?\]\]>              # CDATA section
-      | !(?!--)[^>]*>                   # doctype / declaration (a '<!--'
-                                        #  prefix is ONLY ever a comment —
-                                        #  '<!-->' unterminated = data)
-      | \?[^>]*>                        # processing instruction
-        # NOTE: all constructs REQUIRE their terminator — html.parser
-        # emits an unterminated one at EOF as literal data on close()
-      | /\s*(?P<ename>[a-zA-Z][^\t\n\r\f\ />\x00]*)[^>]*>   # end tag (tolerant name + junk, like parse_endtag)
-      | /(?!\s*[a-zA-Z])[^>]*>          # </ + non-name: bogus comment, swallowed to '>'
-      | (?P<name>[a-zA-Z][^\t\n\r\f\ />\x00]*)  # tolerant name charset (tagfind_tolerant);
-                                        # the start-tag END is found by the
-                                        # stdlib's own attr machinery below
-    )""",
-    re.X | re.S,
-)
+# - '<' not starting a construct is literal text
+# - an UNTERMINATED construct uses goahead's close() fallback: emit
+#   data up to (and including) the next '>' and RESUME parsing there —
+#   content after that '>' is parsed normally, not swallowed
+_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")  # tagfind_tolerant charset
+# parse_endtag's strict form: '</' ws* name ws* '>'
+_ENDTAG_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_CDATA_SECT_RE = re.compile(r"<!\[CDATA\[.*?\]\]>", re.S)
+_DECL_RE = re.compile(r"<!(?!--)[^>]*>")  # '<!--' prefix is ONLY a comment
+_PI_RE = re.compile(r"<\?[^>]*>")
 _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.I) for t in ("script", "style")
 }
@@ -263,45 +257,88 @@ def tokenize_html(html: str) -> list[Block]:
     data = p.handle_data
     n = len(html)
     pos = 0
+
+    def incomplete(i: int) -> int:
+        """goahead's close()-time fallback for a construct with no
+        terminator: emit data through the next '>' (or up to the next
+        '<', or one char) and resume parsing there."""
+        k = html.find(">", i + 1)
+        if k < 0:
+            k = html.find("<", i + 1)
+            k = i + 1 if k < 0 else k
+        else:
+            k += 1
+        data(unescape(html[i:k]))
+        return k
+
     while pos < n:
-        m = _TAG_RE.search(html, pos)
-        if m is None:
+        lt = html.find("<", pos)
+        if lt < 0:
             break
-        if m.start() > pos:
-            seg = html[pos:m.start()]
+        if lt > pos:
+            seg = html[pos:lt]
             data(unescape(seg) if "&" in seg else seg)
-        pos = m.end()
-        ename = m.group("ename")
-        if ename:
-            p.handle_endtag(ename.lower())
-            continue
-        name = m.group("name")
-        if not name:
-            continue  # comment/doctype/PI/CDATA/bogus end tag
-        tag = name.lower()
-        i = m.start()
-        # exact fast path: '<name>' with no attrs at all — nothing for
-        # the attr machinery to decide (the bulk of real tags: <p>,
-        # <div>, <li>, ...)
-        if html.startswith(">", m.end()):
-            p.handle_starttag(tag, [])
-            pos = m.end() + 1
-            if tag in _CDATA_CLOSE:
+        c = html[lt + 1:lt + 2]
+        if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            nm = _NAME_RE.match(html, lt + 1)
+            tag = nm.group(0).lower()
+            # exact fast path: '<name>' with no attrs at all — nothing
+            # for the attr machinery to decide (the bulk of real tags)
+            if html.startswith(">", nm.end()):
+                p.handle_starttag(tag, [])
+                pos = nm.end() + 1
+                if tag in _CDATA_CLOSE:
+                    pos = _skip_cdata(p, html, tag, pos, n)
+                continue
+            # otherwise run the stdlib's own parse_starttag here (fires
+            # handle_starttag / handle_startendtag / the data-bail
+            # exactly like the oracle; -1 = unterminated)
+            endpos = p.parse_starttag(lt)
+            if endpos < 0:
+                pos = incomplete(lt)
+                continue
+            pos = endpos
+            if p.cdata_elem is not None:  # entered script/style CDATA
+                p.clear_cdata_mode()
                 pos = _skip_cdata(p, html, tag, pos, n)
-            continue
-        # otherwise run the stdlib's own parse_starttag at this offset
-        # (fires handle_starttag / handle_startendtag / the data-bail
-        # exactly like the oracle; returns the end offset, -1 if the
-        # tag is unterminated at EOF)
-        endpos = p.parse_starttag(i)
-        if endpos < 0:
-            # unterminated -> literal trailing data (tail handler below)
-            pos = i
-            break
-        pos = endpos
-        if p.cdata_elem is not None:  # parse_starttag entered CDATA mode
-            p.clear_cdata_mode()
-            pos = _skip_cdata(p, html, tag, pos, n)
+        elif c == "/":
+            # parse_endtag's exact branch order: strict '</ws*name ws*>',
+            # else (with some '>' ahead) lenient name-at-i+2 consuming to
+            # the '>' after it, else literal '</>', else bogus comment
+            m = _ENDTAG_STRICT.match(html, lt)
+            if m is not None:
+                p.handle_endtag(m.group(1).lower())
+                pos = m.end()
+                continue
+            if html.find(">", lt + 1) < 0:
+                pos = incomplete(lt)
+                continue
+            nm = _NAME_RE.match(html, lt + 2)
+            if nm is not None:
+                p.handle_endtag(nm.group(0).lower())
+                pos = html.find(">", nm.end()) + 1  # '>' exists (checked)
+                if pos == 0:  # '>' only before the name end: bogus-ish
+                    pos = incomplete(lt)
+            elif html.startswith("</>", lt):
+                pos = lt + 3
+            else:
+                gt = html.find(">", lt + 2)
+                pos = (gt + 1) if gt >= 0 else incomplete(lt)
+        elif c == "!":
+            if html.startswith("<!--", lt):
+                m = _COMMENT_RE.match(html, lt)
+            elif html.startswith("<![CDATA[", lt):
+                m = _CDATA_SECT_RE.match(html, lt)
+            else:
+                m = _DECL_RE.match(html, lt)
+            pos = m.end() if m else incomplete(lt)
+        elif c == "?":
+            m = _PI_RE.match(html, lt)
+            pos = m.end() if m else incomplete(lt)
+        else:
+            # literal '<' (incl. '<' at EOF): plain data, like goahead
+            data("<")
+            pos = lt + 1
     if pos < n:
         seg = html[pos:]
         data(unescape(seg) if "&" in seg else seg)
