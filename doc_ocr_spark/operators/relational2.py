@@ -107,7 +107,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_SQL = """
 SELECT event_type,
-  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
   min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
   count(*) AS n

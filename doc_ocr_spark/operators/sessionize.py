@@ -69,8 +69,10 @@ WITH e AS (
          ELSE 0 END AS new_session
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sid AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  -- CAST: DuckDB sum(INTEGER) is HUGEINT, which pandas lifts to float64
+  -- and the driver's value-hash then mismatches Spark's bigint.
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -107,13 +109,13 @@ def running_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCKS_SQL = """
 WITH b AS (
   SELECT user_id, event_id, event_type, value,
-    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
       OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS block_id
   FROM events
 )
 SELECT user_id, block_id, count(*) AS n_events,
-  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
   round(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_value
 FROM b GROUP BY user_id, block_id
 """

@@ -1,11 +1,26 @@
 """Local mirror of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() in DuckDB at sf0.001 and compare
-row count, column names, and an order-insensitive value hash."""
+row count, column names, and an order-insensitive value hash.
+
+The canon deliberately mirrors the driver's pandas-based compare
+(``sdf.toPandas()`` vs duckdb ``res.df()``, full-precision values):
+
+- DuckDB HUGEINT materializes as float64 in pandas, so an uncast
+  ``sum(INTEGER)`` oracle hashes ``976742.0`` against Spark's bigint
+  ``976742`` and MUST fail here, exactly as it fails in the driver
+  (round-1 lesson: a fetchall()-based canon silently converted HUGEINT
+  to Python int and hid three such bugs).
+- Floats are compared at repr() precision, not %.9g.
+- Non-scalar cells (list/ndarray/dict) raise — the driver's canon
+  dies on them with "unhashable type", so they are a bug, not data.
+"""
 
 import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -27,21 +42,34 @@ def ddb():
 
 
 def _canon_value(v):
-    if isinstance(v, bool):
-        return "b:" + str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        return f"f:{v:.9g}"
-    if v is None:
+    if isinstance(v, (list, tuple, dict, set, np.ndarray, bytearray)):
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} — the driver's pandas "
+            "canon cannot hash this; emit scalars (json/md5) instead"
+        )
+    if v is None or v is pd.NaT:
         return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "null"  # pandas uses NaN for SQL NULL in float cols
+        return f"f:{f!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, pd.Timestamp):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, bytes):
+        return f"y:{v.hex()}"
     return f"{type(v).__name__[0]}:{v}"
 
 
-def _canon_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+def _canon_pdf(pdf: "pd.DataFrame"):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     return sorted(
-        "|".join(_canon_value(r[i]) for i in idx) for r in rows
+        "|".join(_canon_value(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
     )
 
 
@@ -52,21 +80,21 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
+    scols = list(spdf.columns)
     oracle = entrymod.oracle_sql().get(name)
     if oracle is None:
-        # rows-only contract: runs, returns rows, stable schema
+        # rows-only contract: runs, returns rows, stable schema — but the
+        # cells must still be driver-canon-safe scalars.
         assert len(scols) > 0
-        assert len(srows) >= 0
+        _canon_pdf(spdf)
         return
-    res = ddb.sql(oracle)
-    dcols = [c for c in res.columns]
-    drows = res.fetchall()
+    dpdf = ddb.sql(oracle).df()
+    dcols = list(dpdf.columns)
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
-    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
-    sc = _canon_rows(scols, srows)
-    dc = _canon_rows(dcols, drows)
+    assert len(spdf) == len(dpdf), f"{name}: row count {len(spdf)} vs {len(dpdf)}"
+    sc = _canon_pdf(spdf)
+    dc = _canon_pdf(dpdf)
     mismatches = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
     assert not mismatches, (
         f"{name}: {len(mismatches)} mismatched rows; first: "
