@@ -58,5 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
-        out.update(m.ORACLES)
+        # ORACLES may be a zero-arg callable for modules whose oracle is
+        # computed (VALUES-literal expected rows from the deterministic
+        # synthetic corpora) — lazy so Spark workers importing the
+        # module for its kernels never pay the sequential recompute.
+        src = m.ORACLES() if callable(m.ORACLES) else m.ORACLES
+        out.update(src)
     return out

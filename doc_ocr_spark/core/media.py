@@ -7,7 +7,7 @@ opaque ``binary`` column with typed metadata; per-batch numpy kernels do
 the work (SURVEY.md §2.2).
 
 Codec policy for this environment (no PIL/cv2/ffmpeg — intentional):
-- images: PPM (P6) — parsed from scratch here (header + raw RGB)
+- images: PNG (8-bit RGB, stdlib zlib) and PPM (P6), both from scratch
 - audio:  WAV PCM16 — stdlib ``wave`` + numpy
 - video:  no codec available -> ``decode_video`` raises
   NotImplementedError; ``fake_video_frames`` provides the deterministic
@@ -22,6 +22,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -85,6 +86,143 @@ def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return pixels[rows][:, cols]
+
+
+# ---------------------------------------------------------------------------
+# Image: PNG (8-bit RGB truecolor), from scratch on stdlib zlib.
+#
+# Real wire format for the S4/multimodal path (reference consumes
+# PNG/JPEG, invoice.py:13-18): chunk framing + CRC32, scanline filters
+# 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec.  The encoder picks
+# the per-row filter by the standard minimum-sum-of-absolute-differences
+# heuristic, so decoding round-trips exercise every unfilter branch.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (color type 2, bit depth 8)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    px = pixels.astype(np.int16)
+    prev = np.zeros((w, 3), dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        row = px[y]
+        left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+        ul = np.vstack([np.zeros((1, 3), np.int16), prev[:-1]])
+        cands = {
+            0: row,
+            1: row - left,
+            2: row - prev,
+            3: row - (left + prev) // 2,
+            4: row - _paeth_pred(left, prev, ul),
+        }
+        best = min(
+            cands,
+            key=lambda k: int(np.abs(((cands[k] % 256) + 128) % 256 - 128).sum()),
+        )
+        raw.append(best)
+        raw += (cands[best] % 256).astype(np.uint8).tobytes()
+        prev = row
+    head = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", head)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8.  Supports 8-bit RGB (color type 2),
+    no interlace; all five scanline filters; CRC-verified chunks."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_MAGIC)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 2 or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} colortype={ctype} interlace={inter})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("bad IDAT length")
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    prev = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).reshape(w, 3).astype(np.int16)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent: sequential across x (small images; fine)
+            cur = np.zeros((w, 3), dtype=np.int16)
+            for x in range(w):
+                left = cur[x - 1] if x else np.zeros(3, np.int16)
+                up = prev[x]
+                ul = prev[x - 1] if x else np.zeros(3, np.int16)
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth_pred(
+                        left.reshape(1, 3), up.reshape(1, 3), ul.reshape(1, 3)
+                    ).reshape(3)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatched image decode (PNG or PPM)."""
+    if payload.startswith(_PNG_MAGIC):
+        return decode_png(payload)
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    raise ValueError("unknown image format")
 
 
 # ---------------------------------------------------------------------------

@@ -2,25 +2,30 @@
 pandas kernels (``mapInPandas`` — never per-row Python UDFs).
 
 The media table is synthesized deterministically (no external data):
-``(media_id, kind, payload binary, fmt, meta...)`` with real PPM images
-and real WAV audio (core/media.py decodes both from scratch / stdlib),
-plus fake-format video payloads exercising the same plumbing as a real
-codec would (decode_video itself is NotImplementedError by policy —
-no codec libs in this environment).
+``(media_id, kind, payload binary, fmt, meta...)`` with real PNG images
+(from-scratch stdlib-zlib codec, filters 0-4), legacy PPM every 4th
+image, real WAV audio, plus fake-format video payloads exercising the
+same plumbing as a real codec would (decode_video itself is
+NotImplementedError by policy — no codec libs in this environment).
 
 Scale notes: payloads ride the same salted url/media-id hash bucketing
 as html blobs; decode kernels are per-batch numpy; Arrow's
 maxRecordsPerBatch caps batch bytes the same way the extraction kernel
 does.
 
-These queries have no SQL oracle (binary payloads never reach DuckDB);
-the value-level correctness gate is tests/test_multimodal.py, which
-checks kernel outputs against per-payload expected values computed
-sequentially — same golden structure as the extraction kernel.
+Correctness gate: every query output is scalar-celled (json/md5 for
+aggregates of arrays/bytes) and ships a VALUES-literal DuckDB oracle
+whose expected values are computed by an INDEPENDENT sequential path
+(pure-Python feature math over the pre-encode pixel/sample arrays), so
+the driver's hash compare covers decode + features end-to-end
+(VERDICT r01 item 2).
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,37 +35,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc_ocr_spark.core import media as M
+from doc_ocr_spark.operators import values_oracle
 
 N_MEDIA = 120
+SEED = 42
 
 
-def synth_media_rows(n: int = N_MEDIA, seed: int = 42) -> list[dict]:
-    """Deterministic media corpus: cycles image/audio/video."""
+def _synth_raw(i: int, seed: int = SEED) -> dict:
+    """Pre-encode arrays for media item i — the input definition shared
+    by the corpus builder and the independent oracle."""
+    rng = np.random.default_rng((seed << 16) ^ i)
+    kind = ("image", "audio", "video")[i % 3]
+    if kind == "image":
+        h, w = 16 + int(rng.integers(0, 48)), 16 + int(rng.integers(0, 48))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        return {"kind": kind, "px": px}
+    if kind == "audio":
+        sr = 8000
+        n_samp = int(rng.integers(1600, 8000))
+        t = np.arange(n_samp)
+        freq = float(rng.integers(100, 800))
+        samples = (3000 * np.sin(2 * np.pi * freq * t / sr)).astype(np.int16)
+        return {"kind": kind, "samples": samples, "sr": sr}
+    n_frames = 4 + int(rng.integers(0, 4))
+    vrng = np.random.default_rng((seed << 8) ^ i)
+    frames = vrng.integers(0, 256, size=(n_frames, 8, 8, 3), dtype=np.uint8)
+    return {"kind": kind, "frames": frames}
+
+
+def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
+    """Deterministic media corpus: cycles image/audio/video; images are
+    PNG except every 4th, which stays PPM (both decoders exercised)."""
     rows = []
     for i in range(n):
-        rng = np.random.default_rng((seed << 16) ^ i)
-        kind = ("image", "audio", "video")[i % 3]
+        raw = _synth_raw(i, seed)
+        kind = raw["kind"]
         if kind == "image":
-            h, w = 16 + int(rng.integers(0, 48)), 16 + int(rng.integers(0, 48))
-            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload, fmt = M.encode_ppm(px), "ppm"
+            if (i // 3) % 4 == 3:
+                payload, fmt = M.encode_ppm(raw["px"]), "ppm"
+            else:
+                payload, fmt = M.encode_png(raw["px"]), "png"
         elif kind == "audio":
-            sr = 8000
-            n_samp = int(rng.integers(1600, 8000))
-            t = np.arange(n_samp)
-            freq = float(rng.integers(100, 800))
-            samples = (3000 * np.sin(2 * np.pi * freq * t / sr)).astype(np.int16)
-            payload, fmt = M.encode_wav_pcm16(samples, sr), "wav"
+            payload, fmt = M.encode_wav_pcm16(raw["samples"], raw["sr"]), "wav"
         else:
-            payload, fmt = (
-                M.encode_fake_video(
-                    4 + int(rng.integers(0, 4)), 8, 8, seed=(seed << 8) ^ i
-                ),
-                "fake-video",
+            f = raw["frames"]
+            head = M.FAKE_VIDEO_MAGIC + struct.pack(
+                "<IHH", f.shape[0], f.shape[1], f.shape[2]
             )
-        rows.append(
-            {"media_id": i, "kind": kind, "fmt": fmt, "payload": payload}
-        )
+            payload, fmt = head + f.tobytes(), "fake-video"
+        rows.append({"media_id": i, "kind": kind, "fmt": fmt, "payload": payload})
     return rows
 
 
@@ -71,42 +94,134 @@ def media_df(spark: SparkSession, n: int = N_MEDIA) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Image
+
 IMAGE_SCHEMA = (
     "media_id long, height int, width int, mean_r double, mean_g double, "
-    "mean_b double, luma_hist array<int>, thumb_h int, thumb_w int, "
-    "thumb bytes_placeholder string"
-).replace(", thumb bytes_placeholder string", ", thumb binary")
+    "mean_b double, hist_b0 int, hist_b1 int, hist_b2 int, hist_b3 int, "
+    "thumb_h int, thumb_w int, thumb_md5 string"
+)
+
+IMAGE_COLS = [
+    ("media_id", "BIGINT"),
+    ("height", "INT"),
+    ("width", "INT"),
+    ("mean_r", "DOUBLE"),
+    ("mean_g", "DOUBLE"),
+    ("mean_b", "DOUBLE"),
+    ("hist_b0", "INT"),
+    ("hist_b1", "INT"),
+    ("hist_b2", "INT"),
+    ("hist_b3", "INT"),
+    ("thumb_h", "INT"),
+    ("thumb_w", "INT"),
+    ("thumb_md5", "VARCHAR"),
+]
 
 
 def _image_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-            px = M.decode_ppm(bytes(payload))
+            px = M.decode_image(bytes(payload))
             feats = M.image_features(px)
             thumb = M.resize_nearest(px, 8, 8)
+            h = feats["luma_hist"]
             out.append(
                 {
                     "media_id": mid,
-                    **{k: feats[k] for k in ("height", "width", "mean_r", "mean_g", "mean_b", "luma_hist")},
+                    "height": feats["height"],
+                    "width": feats["width"],
+                    "mean_r": feats["mean_r"],
+                    "mean_g": feats["mean_g"],
+                    "mean_b": feats["mean_b"],
+                    "hist_b0": h[0],
+                    "hist_b1": h[1],
+                    "hist_b2": h[2],
+                    "hist_b3": h[3],
                     "thumb_h": thumb.shape[0],
                     "thumb_w": thumb.shape[1],
-                    "thumb": M.encode_ppm(thumb),
+                    "thumb_md5": hashlib.md5(thumb.tobytes()).hexdigest(),
                 }
             )
         yield pd.DataFrame(out)
 
 
 def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode PPM images, extract features, emit 8x8 thumbnails."""
+    """Decode PNG/PPM images, extract features, md5 the 8x8 thumbnail.
+    Output is all-scalar (driver pandas canon requires hashable cells)."""
     imgs = media_df(spark).filter(F.col("kind") == "image").select("media_id", "payload")
     return imgs.repartition(8, "media_id").mapInPandas(_image_kernel, IMAGE_SCHEMA)
 
+
+def _expected_image_rows() -> list[dict]:
+    """Independent sequential recomputation: pure-Python feature math on
+    the pre-encode pixels — no media.py decode/feature code involved, so
+    a codec or feature bug on the Spark side hash-mismatches here."""
+    rows = []
+    for i in range(N_MEDIA):
+        raw = _synth_raw(i)
+        if raw["kind"] != "image":
+            continue
+        px = raw["px"]
+        h, w = px.shape[0], px.shape[1]
+        n = h * w
+        sums = [0, 0, 0]
+        hist = [0, 0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                luma = 0.299 * r + 0.587 * g + 0.114 * b
+                hist[min(3, int(luma // 64.0))] += 1
+        ridx = [min(h - 1, k * h // 8) for k in range(8)]
+        cidx = [min(w - 1, k * w // 8) for k in range(8)]
+        tb = bytearray()
+        for ry in ridx:
+            for cx in cidx:
+                tb += bytes(
+                    (int(px[ry, cx, 0]), int(px[ry, cx, 1]), int(px[ry, cx, 2]))
+                )
+        rows.append(
+            {
+                "media_id": i,
+                "height": h,
+                "width": w,
+                "mean_r": round(sums[0] / n, 4),
+                "mean_g": round(sums[1] / n, 4),
+                "mean_b": round(sums[2] / n, 4),
+                "hist_b0": hist[0],
+                "hist_b1": hist[1],
+                "hist_b2": hist[2],
+                "hist_b3": hist[3],
+                "thumb_h": 8,
+                "thumb_w": 8,
+                "thumb_md5": hashlib.md5(bytes(tb)).hexdigest(),
+            }
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Audio
 
 AUDIO_SCHEMA = (
     "media_id long, sample_rate int, n_samples int, duration_ms int, "
     "rms double, n_windows int, n_sampled_frames int"
 )
+
+AUDIO_COLS = [
+    ("media_id", "BIGINT"),
+    ("sample_rate", "INT"),
+    ("n_samples", "INT"),
+    ("duration_ms", "INT"),
+    ("rms", "DOUBLE"),
+    ("n_windows", "INT"),
+    ("n_sampled_frames", "INT"),
+]
 
 
 def _audio_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,7 +251,45 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auds.repartition(8, "media_id").mapInPandas(_audio_kernel, AUDIO_SCHEMA)
 
 
+def _expected_audio_rows() -> list[dict]:
+    """Independent recomputation: exact-integer RMS math on the
+    pre-encode samples (WAV decode is the code under test)."""
+    rows = []
+    for i in range(N_MEDIA):
+        raw = _synth_raw(i)
+        if raw["kind"] != "audio":
+            continue
+        samples, sr = raw["samples"], raw["sr"]
+        n = len(samples)
+        sq = sum(int(s) * int(s) for s in samples)
+        win = sr * 100 // 1000
+        rows.append(
+            {
+                "media_id": i,
+                "sample_rate": sr,
+                "n_samples": n,
+                "duration_ms": n * 1000 // sr,
+                "rms": round(math.sqrt(sq / n), 4),
+                "n_windows": max(1, n // win),
+                "n_sampled_frames": (n + 9) // 10,
+            }
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Video
+
 VIDEO_SCHEMA = "media_id long, n_frames int, frame_h int, frame_w int, sampled_frames int, mean_px double"
+
+VIDEO_COLS = [
+    ("media_id", "BIGINT"),
+    ("n_frames", "INT"),
+    ("frame_h", "INT"),
+    ("frame_w", "INT"),
+    ("sampled_frames", "INT"),
+    ("mean_px", "DOUBLE"),
+]
 
 
 def _video_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,8 +324,37 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vids.repartition(8, "media_id").mapInPandas(_video_kernel, VIDEO_SCHEMA)
 
 
-# binary payloads cannot reach the DuckDB views -> rows-only contract
-ORACLES: dict[str, str] = {}
+def _expected_video_rows() -> list[dict]:
+    rows = []
+    for i in range(N_MEDIA):
+        raw = _synth_raw(i)
+        if raw["kind"] != "video":
+            continue
+        frames = raw["frames"]
+        nf = frames.shape[0]
+        total = int(frames.sum())
+        rows.append(
+            {
+                "media_id": i,
+                "n_frames": nf,
+                "frame_h": 8,
+                "frame_w": 8,
+                "sampled_frames": (nf + 1) // 2,
+                "mean_px": round(total / frames.size, 4),
+            }
+        )
+    return rows
+
+
+def _oracles() -> dict[str, str]:
+    return {
+        "image_decode_features": values_oracle(IMAGE_COLS, _expected_image_rows()),
+        "audio_decode_features": values_oracle(AUDIO_COLS, _expected_audio_rows()),
+        "video_frame_sample": values_oracle(VIDEO_COLS, _expected_video_rows()),
+    }
+
+
+ORACLES = _oracles  # lazy: see __spark_entry__.oracle_sql
 
 QUERIES = {
     "image_decode_features": image_decode_features,

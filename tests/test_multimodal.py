@@ -18,6 +18,68 @@ def test_ppm_rejects_garbage():
         M.decode_ppm(b"JFIF....")
 
 
+def test_png_roundtrip_random_and_gradient():
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (2, 3, 3), (16, 16, 3), (33, 47, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(M.decode_png(M.encode_png(px)), px)
+    # smooth gradient drives the encoder to Sub/Up/Paeth filters
+    g = (
+        np.arange(40)[:, None, None] * 3
+        + np.arange(50)[None, :, None] * 5
+        + np.arange(3)[None, None, :]
+    ).astype(np.uint8)
+    enc = M.encode_png(g)
+    assert np.array_equal(M.decode_png(enc), g)
+    assert len(enc) < g.nbytes // 4  # filters + zlib actually compress
+
+
+def test_png_decode_all_filter_types():
+    """Hand-built PNG forcing every filter type 0-4 across rows."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8).astype(np.int16)
+    raws = bytearray()
+    prev = np.zeros((5, 3), np.int16)
+    for y in range(6):
+        f = y % 5
+        row = px[y]
+        left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+        ul = np.vstack([np.zeros((1, 3), np.int16), prev[:-1]])
+        filt = {
+            0: row,
+            1: row - left,
+            2: row - prev,
+            3: row - (left + prev) // 2,
+            4: row - M._paeth_pred(left, prev, ul),
+        }[f]
+        raws.append(f)
+        raws += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    head = struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0)
+    png = (
+        M._PNG_MAGIC
+        + M._png_chunk(b"IHDR", head)
+        + M._png_chunk(b"IDAT", zlib.compress(bytes(raws)))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(M.decode_png(png), px.astype(np.uint8))
+
+
+def test_png_rejects_corruption():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    enc = bytearray(M.encode_png(px))
+    with pytest.raises(ValueError):
+        M.decode_png(b"\x89PNG\r\n\x1a\njunk")
+    enc[20] ^= 0xFF  # flip a byte inside IHDR -> CRC must catch it
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(enc))
+    with pytest.raises(ValueError):
+        M.decode_image(b"GIF89a....")
+
+
 def test_resize_nearest_shape_and_determinism():
     px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     small = M.resize_nearest(px, 2, 2)
@@ -48,36 +110,23 @@ def test_video_decode_is_stubbed_fake_works():
 
 
 def test_synth_media_deterministic():
-    a = mm.synth_media_rows(12)
-    b = mm.synth_media_rows(12)
+    a = mm.synth_media_rows(48)
+    b = mm.synth_media_rows(48)
     assert [r["payload"] for r in a] == [r["payload"] for r in b]
     kinds = {r["kind"] for r in a}
     assert kinds == {"image", "audio", "video"}
+    fmts = {r["fmt"] for r in a if r["kind"] == "image"}
+    assert fmts == {"png", "ppm"}  # both image decoders exercised
 
 
-def _expected_image(rows):
-    out = {}
-    for r in rows:
-        if r["kind"] != "image":
-            continue
-        px = M.decode_ppm(r["payload"])
-        f = M.image_features(px)
-        out[r["media_id"]] = f
-    return out
-
-
-def test_image_kernel_matches_sequential(spark):
-    rows = mm.synth_media_rows(30)  # prefix of the query's 120-row table
-    expected = _expected_image(rows)
-    got = {r.media_id: r for r in mm.image_decode_features(spark, "").collect()}
-    assert set(expected) <= set(got)
+def test_image_kernel_matches_independent_oracle(spark):
+    """Distributed kernel vs the pure-Python expected rows the VALUES
+    oracle is built from (the same compare the driver runs)."""
+    expected = {r["media_id"]: r for r in mm._expected_image_rows()}
+    got = {r.media_id: r.asDict() for r in mm.image_decode_features(spark, "").collect()}
+    assert set(expected) == set(got)
     for mid, f in expected.items():
-        g = got[mid]
-        assert (g.height, g.width) == (f["height"], f["width"])
-        assert g.mean_r == f["mean_r"] and g.luma_hist == f["luma_hist"]
-        # thumbnails are valid PPMs of the declared size
-        t = M.decode_ppm(bytes(g.thumb))
-        assert t.shape == (g.thumb_h, g.thumb_w, 3) == (8, 8, 3)
+        assert got[mid] == f
 
 
 def test_audio_kernel_matches_sequential(spark):
