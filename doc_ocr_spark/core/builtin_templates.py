@@ -66,6 +66,11 @@ INVOICE_EN = {
             "mode": "anchor",
             "anchor_required": ["amount"],
             "anchor_any": ["item"],
+            # anchor_skip_before_sum deliberately OFF here: this layout
+            # puts a full item row on ONE line abutting TOTAL, so the
+            # reference's pre-sum fold (built for split name/number
+            # e-invoice lines) would swallow every legitimate last row.
+            # The zh templates below enable it, like the reference's 3.
             "merge_join": ["item"],
             "joiner": " ",
             "blank": "ignore_blank",
@@ -144,13 +149,13 @@ INVOICE_ZH = {
         {
             "name": "buyer.name",
             "use": "pos",
-            "region": [0.0, 0.30, 0.5, 0.50],
+            "region": [0.0, 0.22, 0.5, 0.50],
             "regex": r"名称[:：]?(.+)",
         },
         {
             "name": "seller.name",
             "use": "pos",
-            "region": [0.5, 0.30, 1.0, 0.50],
+            "region": [0.5, 0.22, 1.0, 0.50],
             "regex": r"名称[:：]?(.+)",
         },
     ],
@@ -167,8 +172,14 @@ INVOICE_ZH = {
         "assign_rule": {"x_tol": 2.0},
         "row_group": {
             "mode": "anchor",
-            "anchor_required": ["amount"],
-            "anchor_any": ["item"],
+            # reference e-invoice row shape (invoice_rule_extractor.py
+            # defaults + einvoice_*.json): the NAME line anchors a block,
+            # the qty/price/amount line below is a continuation, and a
+            # wrapped name fragment directly before the sum row folds
+            # into the open block (anchor_skip_before_sum).
+            "anchor_required": ["item"],
+            "anchor_any": [],
+            "anchor_skip_before_sum": True,
             "merge_join": ["item"],
             "joiner": "",
             "blank": "ignore_blank",
@@ -254,13 +265,13 @@ INVOICE_ZH_SPECIAL = {
         {
             "name": "buyer.name",
             "use": "pos",
-            "region": [0.0, 0.30, 0.5, 0.50],
+            "region": [0.0, 0.22, 0.5, 0.50],
             "regex": r"名称[:：]?(.+)",
         },
         {
             "name": "seller.name",
             "use": "pos",
-            "region": [0.5, 0.30, 1.0, 0.50],
+            "region": [0.5, 0.22, 1.0, 0.50],
             "regex": r"名称[:：]?(.+)",
         },
     ],
@@ -277,8 +288,14 @@ INVOICE_ZH_SPECIAL = {
         "assign_rule": {"x_tol": 2.0},
         "row_group": {
             "mode": "anchor",
-            "anchor_required": ["amount"],
-            "anchor_any": ["item"],
+            # reference e-invoice row shape (invoice_rule_extractor.py
+            # defaults + einvoice_*.json): the NAME line anchors a block,
+            # the qty/price/amount line below is a continuation, and a
+            # wrapped name fragment directly before the sum row folds
+            # into the open block (anchor_skip_before_sum).
+            "anchor_required": ["item"],
+            "anchor_any": [],
+            "anchor_skip_before_sum": True,
             "merge_join": ["item"],
             "joiner": "",
             "blank": "ignore_blank",

@@ -415,6 +415,35 @@ def _hits_stop_anchor(line: Line, stop_anchors: list[str]) -> bool:
     return any(normalize_text(a) in text for a in stop_anchors)
 
 
+def _next_effective_is_sum(
+    body: list[Line],
+    idx: int,
+    columns: list[tuple[str, float, float]],
+    column_map: dict[str, str],
+    sum_spec: dict | None,
+    max_x_gap: float,
+    stop_anchors: list[str],
+    ignore_blank: bool,
+) -> bool:
+    """L16 anchor_skip_before_sum lookahead: is the next effective line
+    after ``idx`` the sum row?  (invoice_rule_extractor.py:762-787) —
+    a stop anchor or any non-blank row before the sum answers no; blank
+    rows are looked past only under ignore_blank."""
+    if not sum_spec:
+        return False
+    for j in range(idx + 1, len(body)):
+        line = body[j]
+        if stop_anchors and _hits_stop_anchor(line, stop_anchors):
+            return False
+        if _is_sum_line(line, sum_spec["key"], max_x_gap):
+            return True
+        if assign_row_cells(line, columns, column_map):
+            return False
+        if not ignore_blank:
+            return False
+    return False
+
+
 def extract_table(
     lines: list[Line], table_spec: dict
 ) -> TableResult:
@@ -430,6 +459,10 @@ def extract_table(
       non-empty); continuation lines append to the open block; before any
       anchor is seen, a line with all required cells is promoted to an
       anchor (first-row fallback)
+    - ``anchor_skip_before_sum`` (invoice_rule_extractor.py:365,481,
+      enabled in all three reference templates): a would-be anchor whose
+      next effective line is the sum row folds into the open block
+      instead of opening a spurious last row
     - blank policy: ``ignore_blank`` skips, ``allow_blank`` tolerates up
       to ``blank_row_max`` consecutive blanks, else a blank breaks
     - block merge (L17): ``merge_join`` fields concat non-empty values
@@ -453,6 +486,8 @@ def extract_table(
     joiner = rg.get("joiner", "")
     blank_policy = rg.get("blank", "break")  # ignore_blank|allow_blank|break
     blank_row_max = rg.get("blank_row_max", 1)
+    skip_before_sum = rg.get("anchor_skip_before_sum", False)
+    sum_x_gap = table_spec.get("header_match", {}).get("max_x_gap", 10.0)
     stop_anchors = table_spec.get("row_end", {}).get("stop_anchors", [])
     sum_spec = table_spec.get("sum_row")
     y_gap = rg.get("y_gap", 1.0)
@@ -477,9 +512,7 @@ def extract_table(
         if stop_anchors and _hits_stop_anchor(line, stop_anchors):
             stopped_at = idx
             break
-        if sum_spec and _is_sum_line(
-            line, sum_spec["key"], table_spec.get("header_match", {}).get("max_x_gap", 10.0)
-        ):
+        if sum_spec and _is_sum_line(line, sum_spec["key"], sum_x_gap):
             sum_line = line
             sum_line_idx = idx
             body_cells.append(assign_row_cells(line, columns, column_map))
@@ -509,6 +542,24 @@ def extract_table(
         is_anchor = req_ok and any_ok
         if not is_anchor and open_block is None and req_ok:
             is_anchor = True  # first-row fallback (required-only promote)
+        if (
+            is_anchor
+            and skip_before_sum
+            and open_block is not None
+            and _next_effective_is_sum(
+                body,
+                idx,
+                columns,
+                column_map,
+                sum_spec,
+                sum_x_gap,
+                stop_anchors,
+                blank_policy == "ignore_blank",
+            )
+        ):
+            # fold the last pre-sum anchor into the open block
+            open_block.append(cells)
+            continue
         if is_anchor:
             open_block = [cells]
             blocks.append(open_block)

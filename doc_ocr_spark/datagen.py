@@ -12,6 +12,8 @@ style (tests/test_invoice_rule_extractor.py:17-58) lifted to web pages:
   split-anchor       anchor text split across adjacent tokens (L3/L13)
   multiline-row      anchor-block row grouping (L16-L17)
   sum-missing        failure taxonomy (incomplete rows kept as data)
+  last-row-fold      zh invoice whose wrapped name tail abuts the sum
+                     row (L16 anchor_skip_before_sum fold)
   region-split       left/right page-region field scoping (L6)
   first-row-anchor   required-only anchor fallback in L16
   empty              empty html guard
@@ -51,6 +53,7 @@ FAMILIES = (
     "splitanchor",
     "multilinerow",
     "summissing",
+    "lastrowfold",
     "regionsplit",
     "firstrowanchor",
     "rotated",
@@ -69,6 +72,7 @@ _WEIGHTS = {
     "splitanchor": 6,
     "multilinerow": 6,
     "summissing": 4,
+    "lastrowfold": 3,
     "regionsplit": 4,
     "firstrowanchor": 3,
     "rotated": 3,
@@ -276,7 +280,13 @@ def _multipage_doc(r: random.Random, seq: int) -> list[dict]:
     return toks
 
 
-def _invoice_zh_doc(r: random.Random, seq: int, *, region_split: bool = False) -> list[dict]:
+def _invoice_zh_doc(
+    r: random.Random,
+    seq: int,
+    *,
+    region_split: bool = False,
+    last_row_fold: bool = False,
+) -> list[dict]:
     toks: list[dict] = []
     toks.append(_tok("电子发票（普通发票）", 200, 30, ch_w=14.0))
     toks.append(_tok("发票号码:", 40, 70, ch_w=12.0))
@@ -298,18 +308,30 @@ def _invoice_zh_doc(r: random.Random, seq: int, *, region_split: bool = False) -
     ]
     y = 190.0
     total = 0.0
-    for _ in range(r.randint(1, 3)):
+    n_rows = r.randint(1, 3)
+    for i in range(n_rows):
         qty = r.randint(1, 9)
         price = r.randint(100, 9999) / 100.0
         amount = round(qty * price, 2)
         total = round(total + amount, 2)
+        # reference e-invoice row shape (doc-ocr
+        # tests/test_invoice_rule_extractor.py:95-102): the *cat*name
+        # line anchors the block, the numbers line below continues it
+        toks.append(
+            _tok("*" + r.choice(_ZH_WORDS) + "*" + r.choice(_ZH_WORDS), 40, y, ch_w=12.0)
+        )
         toks += [
-            _tok("*" + r.choice(_ZH_WORDS) + "*" + r.choice(_ZH_WORDS), 40, y, ch_w=12.0),
-            _tok(str(qty), 300, y),
-            _tok(f"{price:.2f}", 380, y),
-            _tok(f"{amount:.2f}", 470, y),
+            _tok(str(qty), 300, y + 14),
+            _tok(f"{price:.2f}", 380, y + 14),
+            _tok(f"{amount:.2f}", 470, y + 14),
         ]
-        y += 22.0
+        y += 36.0
+        if last_row_fold and i == n_rows - 1:
+            # wrapped name tail surfaces BELOW the numbers line (the
+            # OCR y-sort artifact anchor_skip_before_sum exists for):
+            # anchor-shaped, immediately before 合计 -> must fold
+            toks.append(_tok(r.choice(_ZH_WORDS), 40, y, ch_w=12.0))
+            y += 22.0
     toks += [_tok("合", 40, y, ch_w=12.0), _tok("计", 56, y, ch_w=12.0)]
     toks.append(_tok(f"¥{total:.2f}", 470, y))
     y += 30.0
@@ -344,13 +366,14 @@ def _invoice_zh_special_doc(r: random.Random, seq: int) -> list[dict]:
         area = r.randint(500, 2000) / 10.0
         amount = round(area * r.randint(80, 120), 2)
         total = round(total + amount, 2)
+        # split name/number lines, same shape as the general zh family
+        toks.append(_tok("*不动产*" + r.choice(_ZH_WORDS), 40, y, ch_w=12.0))
         toks += [
-            _tok("*不动产*" + r.choice(_ZH_WORDS), 40, y, ch_w=12.0),
-            _tok(f"证{seq:07d}号", 250, y, ch_w=12.0),
-            _tok(f"{area:.1f}", 400, y),
-            _tok(f"{amount:.2f}", 490, y),
+            _tok(f"证{seq:07d}号", 250, y + 14, ch_w=12.0),
+            _tok(f"{area:.1f}", 400, y + 14),
+            _tok(f"{amount:.2f}", 490, y + 14),
         ]
-        y += 22.0
+        y += 36.0
     toks += [_tok("合", 40, y, ch_w=12.0), _tok("计", 56, y, ch_w=12.0)]
     toks.append(_tok(f"¥{total:.2f}", 490, y))
     y += 30.0
@@ -404,6 +427,10 @@ def make_page(seq: int, seed: int = 42, giant_repeat: int = 60) -> dict:
     elif family == "summissing":
         toks = _invoice_en_doc(r, seq, omit_sum=True)
         html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
+    elif family == "lastrowfold":
+        toks = _invoice_zh_doc(r, seq, last_row_fold=True)
+        html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
+        lang = "zh"
     elif family == "firstrowanchor":
         toks = _invoice_en_doc(r, seq, first_row_anchor=True)
         html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)

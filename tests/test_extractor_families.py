@@ -33,6 +33,7 @@ def _results():
         ("empty", False, ("empty_document",)),
         ("multicolumn", False, ("template_not_matched",)),
         ("summissing", False, ("sum_row_not_found", "missing_required:total_amount")),
+        ("lastrowfold", True, ()),
     ],
 )
 def test_family_contract(family, expect_complete, expect_errors):
@@ -43,6 +44,29 @@ def test_family_contract(family, expect_complete, expect_errors):
         seen += 1
         assert res.complete is expect_complete, (page["url"], res.errors)
         assert tuple(res.errors) == expect_errors, (page["url"], res.errors)
+    assert seen > 0
+
+
+def test_lastrowfold_wrapped_tail_folds_not_splits():
+    """L16 anchor_skip_before_sum end-to-end: the wrapped name tail
+    before 合计 merges into the last item (its text ends with the tail)
+    instead of becoming a spurious extra row, and the item count equals
+    the number of amounts (one per real row)."""
+    import json
+
+    seen = 0
+    for fam, page, res in _results():
+        if fam != "lastrowfold":
+            continue
+        seen += 1
+        assert res.complete, (page["url"], res.errors)
+        items = json.loads(res.fields_json)["items"]
+        # every item has a real amount; the tail contributed no row
+        amounts = [i["amount"] for i in items]
+        assert all(a is not None for a in amounts)
+        # the folded tail makes the last item name longer than the
+        # *cat*name pattern alone (two zh words = 2 chars each + 2 stars)
+        assert len(items[-1]["item"]) > 6, items[-1]
     assert seen > 0
 
 

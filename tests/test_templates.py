@@ -151,6 +151,84 @@ def test_anchor_mode_first_row_fallback():
     assert tr.rows == [{"qty": "2", "amount": "10.00", "item": "late item name"}]
 
 
+def _anchor_spec(**extra):
+    spec = dict(TABLE_SPEC)
+    spec["row_group"] = {
+        "mode": "anchor",
+        "anchor_required": ["amount"],
+        "anchor_any": ["item"],
+        "merge_join": ["item"],
+        "joiner": " ",
+        "blank": "ignore_blank",
+        **extra,
+    }
+    return spec
+
+
+def test_anchor_skip_before_sum_folds_last_line():
+    """L16 anchor_skip_before_sum (invoice_rule_extractor.py:365,481):
+    an anchor-shaped line whose next effective line is the sum row is a
+    wrapped continuation, not a new item row."""
+    rows = [
+        [("apple", 40), ("2", 300), ("10.00", 470)],
+        [("wrapped desc", 40), ("10.00", 470)],  # anchor-shaped, pre-sum
+        [("TOTAL", 40), ("10.00", 470)],
+    ]
+    folded = extract_table(_table_lines(rows), _anchor_spec(anchor_skip_before_sum=True))
+    assert [r["item"] for r in folded.rows] == ["apple wrapped desc"]
+    assert folded.rows[0]["amount"] == "10.00"
+    # default (flag off) keeps round-1 behavior: spurious second row
+    split = extract_table(_table_lines(rows), _anchor_spec())
+    assert [r["item"] for r in split.rows] == ["apple", "wrapped desc"]
+
+
+def test_anchor_skip_before_sum_folds_full_pre_sum_anchor_too():
+    """Reference-faithful edge (invoice_rule_extractor.py:479-500 has no
+    'is it a fragment?' guard): ANY anchor whose next effective line is
+    the sum row folds — including a legitimate one-line item row.  This
+    is why the one-line-row en template keeps the flag off."""
+    rows = [
+        [("apple", 40), ("2", 300), ("10.00", 470)],
+        [("banana", 40), ("1", 300), ("5.50", 470)],
+        [("TOTAL", 40), ("15.50", 470)],
+    ]
+    tr = extract_table(_table_lines(rows), _anchor_spec(anchor_skip_before_sum=True))
+    assert [r["item"] for r in tr.rows] == ["apple banana"]
+
+
+def test_anchor_skip_before_sum_name_anchored_reference_shape():
+    """The flag's native domain (reference e-invoice layout): name lines
+    anchor, numbers lines continue, and only a wrapped name tail right
+    before the sum row folds — mid-table blocks stay separate."""
+    spec = _anchor_spec(anchor_skip_before_sum=True)
+    spec["row_group"]["anchor_required"] = ["item"]
+    spec["row_group"]["anchor_any"] = []
+    rows = [
+        [("apple pie", 40)],
+        [("2", 300), ("10.00", 470)],
+        [("banana split", 40)],
+        [("1", 300), ("5.50", 470)],
+        [("deluxe", 40)],  # wrapped name tail, anchor-shaped, pre-sum
+        [("TOTAL", 40), ("15.50", 470)],
+    ]
+    tr = extract_table(_table_lines(rows), spec)
+    assert [r["item"] for r in tr.rows] == ["apple pie", "banana split deluxe"]
+    assert tr.rows[1]["amount"] == "5.50"
+
+
+def test_anchor_skip_before_sum_looks_past_blanks():
+    """ignore_blank lets the lookahead skip blank lines between the
+    would-be anchor and the sum row (reference :781-785)."""
+    rows = [
+        [("apple", 40), ("2", 300), ("10.00", 470)],
+        [("wrapped desc", 40), ("10.00", 470)],
+        [("  ", 40)],  # blank line (whitespace-only cells)
+        [("TOTAL", 40), ("10.00", 470)],
+    ]
+    tr = extract_table(_table_lines(rows), _anchor_spec(anchor_skip_before_sum=True))
+    assert [r["item"] for r in tr.rows] == ["apple wrapped desc"]
+
+
 def test_sum_neighbor_search_down():
     spec = dict(TABLE_SPEC)
     spec["sum_row"] = {
