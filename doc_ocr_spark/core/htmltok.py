@@ -206,7 +206,15 @@ def tokenize_html_htmlparser(html: str) -> list[Block]:
 # Replicated html.parser behaviours (convert_charrefs=True):
 # - tag names case-folded; attributes tolerated incl. quoted '>'
 # - character/entity refs resolved in text (html.unescape)
-# - comments / doctype / CDATA sections / processing instructions skipped
+# - comments / doctype / processing instructions skipped
+# - marked sections '<![kw ...': stdlib-identical for the DEFINED
+#   keyword classes — temp/cdata/ignore/include/rcdata close at
+#   ']]>' (whitespace-tolerant, so '<![CDATA[x] ]>' too), MS
+#   conditionals if/else/endif at ']>'; content skipped (HTMLParser's
+#   unknown_decl is a no-op).  DIVERGENCE (intentional, crawler-safe):
+#   where the stdlib CRASHES — unknown keyword '<![foo]>' or a
+#   non-name '<![123]>' raise AssertionError in _markupbase — this
+#   scanner skips to the first '>' like a bogus declaration instead
 # - script/style bodies are CDATA: no tags until the matching close;
 #   unterminated -> rest of document swallowed
 # - '<' not starting a construct is literal text
@@ -217,8 +225,13 @@ _NAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")  # tagfind_tolerant charse
 # parse_endtag's strict form: '</' ws* name ws* '>'
 _ENDTAG_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_CDATA_SECT_RE = re.compile(r"<!\[CDATA\[.*?\]\]>", re.S)
 _DECL_RE = re.compile(r"<!(?!--)[^>]*>")  # '<!--' prefix is ONLY a comment
+# marked sections '<![...': stdlib parse_marked_section machinery
+_MS_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")  # _declname_match
+_MS_SGML = {"temp", "cdata", "ignore", "include", "rcdata"}
+_MS_COND = {"if", "else", "endif"}
+_MS_CLOSE = re.compile(r"]\s*]\s*>")    # _markedsectionclose
+_MS_MSCLOSE = re.compile(r"]\s*>")      # _msmarkedsectionclose
 _PI_RE = re.compile(r"<\?[^>]*>")
 _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.I) for t in ("script", "style")
@@ -327,11 +340,30 @@ def tokenize_html(html: str) -> list[Block]:
         elif c == "!":
             if html.startswith("<!--", lt):
                 m = _COMMENT_RE.match(html, lt)
-            elif html.startswith("<![CDATA[", lt):
-                m = _CDATA_SECT_RE.match(html, lt)
+                pos = m.end() if m else incomplete(lt)
+            elif html.startswith("<![", lt):
+                # marked section — _markupbase.parse_marked_section:
+                # sgml keywords close at ']]>' (whitespace-tolerant),
+                # MS conditionals (if/else/endif) at ']>'; content is
+                # unknown_decl (a no-op in HTMLParser), i.e. skipped
+                nm = _MS_NAME.match(html, lt + 3)
+                kw = nm.group(0).strip().lower() if nm else None
+                if kw in _MS_SGML:
+                    m = _MS_CLOSE.search(html, lt + 3)
+                    pos = m.end() if m else incomplete(lt)
+                elif kw in _MS_COND:
+                    m = _MS_MSCLOSE.search(html, lt + 3)
+                    pos = m.end() if m else incomplete(lt)
+                else:
+                    # stdlib CRASHES here (AssertionError: unknown
+                    # status keyword / expected name token) — a crawler
+                    # kernel must not; documented divergence: skip to
+                    # the first '>' like a bogus declaration
+                    m = _DECL_RE.match(html, lt)
+                    pos = m.end() if m else incomplete(lt)
             else:
                 m = _DECL_RE.match(html, lt)
-            pos = m.end() if m else incomplete(lt)
+                pos = m.end() if m else incomplete(lt)
         elif c == "?":
             m = _PI_RE.match(html, lt)
             pos = m.end() if m else incomplete(lt)

@@ -29,16 +29,25 @@ _STATE_SCHEMA = "seen BOOLEAN"
 
 
 def _dedup_group(key, pdf_iter, state: GroupState):
-    """Emit the key's first-ever row; drop everything afterwards."""
+    """Emit one row per key ever; drop everything afterwards.
+
+    Within a micro-batch the representative is DETERMINISTIC: the row
+    with min (warc_ts, n_bytes) across all chunks — chunk arrival order
+    is shuffle-dependent, so 'first row of the first chunk' would make
+    n_bytes flap across reruns when duplicate urls carry different html.
+    Across batches, first-batch-wins is deterministic under availableNow
+    (trigger boundaries are file-ordered)."""
     if state.exists:
         return
+    best = None
     for pdf in pdf_iter:
-        if len(pdf):
-            state.update((True,))
-            yield pd.DataFrame(
-                {"url": [key[0]], "n_bytes": [int(pdf.iloc[0]["n_bytes"])]}
-            )
-            return
+        for ts, nb in zip(pdf["warc_ts"], pdf["n_bytes"]):
+            cand = (ts, int(nb))
+            if best is None or cand < best:
+                best = cand
+    if best is not None:
+        state.update((True,))
+        yield pd.DataFrame({"url": [key[0]], "n_bytes": [best[1]]})
 
 
 def streaming_dedup_urls(
@@ -53,7 +62,7 @@ def streaming_dedup_urls(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(input_dir).selectExpr(
-        "url", "CAST(length(html) AS BIGINT) AS n_bytes"
+        "url", "warc_ts", "CAST(length(html) AS BIGINT) AS n_bytes"
     )
     deduped = pages.groupBy("url").applyInPandasWithState(
         _dedup_group,

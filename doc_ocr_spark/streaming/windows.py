@@ -131,7 +131,14 @@ _SESSION_STATE_SCHEMA = (
 
 def _sessionize_group(key, pdf_iter, state: GroupState):
     """Fold this batch's events (sorted by ts, event_id) into the open
-    session carried in state; emit every session that closes."""
+    session carried in state; emit every session that closes.
+
+    The iterator yields the group's rows in Arrow-batch chunks
+    (spark.sql.execution.arrow.maxRecordsPerBatch, 512 here), split in
+    ARRIVAL order — so the sort must happen over the concatenation of
+    all chunks, not per chunk, or a user with >512 events in one
+    trigger folds in arrival order across chunk boundaries and session
+    sums/splits diverge from the batch twin."""
     (user_id,) = key
     if state.exists:
         next_sid, cur_start, cur_end, cur_n, cur_sum = state.get
@@ -139,8 +146,9 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
         next_sid, cur_start, cur_end, cur_n, cur_sum = 1, None, None, 0, 0
 
     out_rows = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = [p for p in pdf_iter if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         ts_s = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
         vals = pdf["value"].tolist()
         for t, v in zip(ts_s, vals):
@@ -155,7 +163,12 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
                 next_sid += 1
                 cur_start, cur_end, cur_n, cur_sum = t, t, 1, scaled
             else:
-                cur_end, cur_n, cur_sum = t, cur_n + 1, cur_sum + scaled
+                # max/min: a late CROSS-batch event inside the gap must
+                # not move the open session's bounds backwards (it would
+                # spuriously split later events)
+                cur_start = min(cur_start, t)
+                cur_end = max(cur_end, t)
+                cur_n, cur_sum = cur_n + 1, cur_sum + scaled
     state.update((next_sid, cur_start, cur_end, cur_n, cur_sum))
     if out_rows:
         yield pd.DataFrame(

@@ -31,7 +31,9 @@ _fragment = st.one_of(
     _tag_names.map(lambda t: f"<{t} class='x' data-n=\"a>b\">"),
     st.sampled_from(
         ["&amp;", "&lt;", "&#65;", "&unknown;", "<!-- c -->", "<!DOCTYPE html>",
-         "<br/>", "<![CDATA[x]]>", "<?pi?>", "<", ">", "&"]
+         "<br/>", "<![CDATA[x]]>", "<![CDATA[q] ]>", "<![cdata[y]]>",
+         "<![if gte IE 7]>", "<![endif]>", "<![ignore[z]]>",
+         "<?pi?>", "<", ">", "&"]
     ),
 )
 
@@ -42,11 +44,14 @@ def test_scanner_tracks_stdlib_on_arbitrary_markup(parts):
     """Start tags run through the stdlib's own parse_starttag, so even
     torn/malformed tags with stray quotes must match the oracle.
 
-    The one excluded class: marked sections like ``<![if ...`` CRASH the
-    stdlib parser itself (CPython _markupbase AssertionError) — the fast
-    scanner treats them as data/skip instead of raising, which is the
-    correct behaviour for a crawler kernel, so those inputs are skipped
-    rather than compared."""
+    Marked sections with DEFINED stdlib behaviour (cdata/ignore/...
+    closing at ']]>', if/else/endif at ']>') are compared like any
+    other construct.  The one excluded class: inputs where the stdlib
+    parser itself CRASHES (unknown keyword '<![foo]>' / non-name
+    '<![123]>' -> _markupbase AssertionError) — the fast scanner skips
+    those like a bogus declaration instead of raising, which is the
+    correct behaviour for a crawler kernel, so they are skipped rather
+    than compared (divergence documented in htmltok.py)."""
     html = "".join(parts)
     try:
         expected = tokenize_html_htmlparser(html)

@@ -111,6 +111,46 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, events_dir):
     # input split across two files processed in two triggers
 
 
+def test_streaming_sessionize_group_larger_than_arrow_chunk(spark, tmp_path):
+    """A user with >512 events in ONE trigger crosses the Arrow
+    maxRecordsPerBatch chunk boundary (512 in session.py).  The events
+    are written in DESCENDING ts order, so any per-chunk sort folds
+    later events before earlier ones; only a sort over the concatenated
+    chunks matches the batch twin."""
+    from datetime import datetime, timedelta, timezone
+
+    from doc_ocr_spark.streaming.windows import EVENTS_SCHEMA, streaming_sessionize
+
+    base = datetime(2025, 3, 1, tzinfo=timezone.utc)
+    rows = []
+    # 1300 events, 100 s apart -> one long session... except every 400th
+    # event jumps 400 s, opening a new session.  Written ts-DESCENDING.
+    t = base
+    for i in range(1300):
+        gap = 400 if (i and i % 400 == 0) else 100
+        t = t + timedelta(seconds=gap)
+        rows.append((i, t, 7, "click", 1.5, None))
+    rows.reverse()
+    d = tmp_path / "big_user"
+    d.mkdir()
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(d / "f")
+    )
+    flat = tmp_path / "big_flat"
+    flat.mkdir()
+    for f in os.listdir(d / "f"):
+        if f.endswith(".parquet"):
+            shutil.move(str(d / "f" / f), str(flat / f))
+
+    got = streaming_sessionize(spark, str(flat), query_name="sess_bigchunk")
+    out = sorted(
+        (r.session_id, r.n_events, r.sum_value) for r in got.collect()
+    )
+    # sessions close at each 400 s jump: 3 closed (400 events each),
+    # the 4th (100 events) stays open in state
+    assert out == [(1, 400, 600.0), (2, 400, 600.0), (3, 400, 600.0)]
+
+
 def test_streaming_url_dedup_across_batches(spark, tmp_path):
     """transformWithStateInPandas: a url seen in an earlier micro-batch
     is dropped in later ones (incremental-crawl resume semantics);
@@ -147,6 +187,39 @@ def test_streaming_url_dedup_across_batches(spark, tmp_path):
     urls = [r.url for r in got.collect()]
     assert len(urls) == 30            # one row per distinct url, ever
     assert len(set(urls)) == 30
+
+
+def test_streaming_url_dedup_representative_is_deterministic(spark, tmp_path):
+    """Duplicate urls WITHIN a batch carrying different html must emit a
+    deterministic representative (min warc_ts, then min n_bytes) — not
+    whichever chunk arrived first."""
+    from datetime import datetime, timedelta, timezone
+
+    from doc_ocr_spark.streaming.dedup import streaming_dedup_urls
+
+    base = datetime(2025, 2, 1, tzinfo=timezone.utc)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rows = [
+        ("https://dup.test/a", base + timedelta(hours=2), b"x" * 500, "", "en"),
+        ("https://dup.test/a", base, b"y" * 123, "", "en"),          # min ts
+        ("https://dup.test/a", base + timedelta(hours=1), b"z" * 9000, "", "en"),
+        ("https://dup.test/b", base, b"w" * 77, "", "en"),
+    ]
+    d = tmp_path / "dup_in"
+    d.mkdir()
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(str(d / "f"))
+    flat = tmp_path / "dup_flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(os.listdir(d / "f"))):
+        if f.endswith(".parquet"):
+            shutil.move(str(d / "f" / f), str(flat / f"p{i}.parquet"))
+
+    for attempt in range(2):  # rerun: same representative both times
+        got = streaming_dedup_urls(
+            spark, str(flat), query_name=f"url_dedup_det{attempt}"
+        )
+        by_url = {r.url: r.n_bytes for r in got.collect()}
+        assert by_url == {"https://dup.test/a": 123, "https://dup.test/b": 77}
 
 
 def test_streaming_native_session_window(spark, events_dir):
