@@ -91,8 +91,9 @@ def warm_up(spark) -> None:
 
 
 def bench_extraction(spark, n_docs: int, out_dir: str) -> dict:
-    """Time the end-to-end extraction job body (no lineage read-back —
-    that is resume bookkeeping, not throughput)."""
+    """Time the end-to-end extraction job body.  Docs/bytes ride the
+    write via Observation — no output read-back (mirrors job.py)."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from doc_ocr_spark.job import with_bucket
@@ -107,17 +108,19 @@ def bench_extraction(spark, n_docs: int, out_dir: str) -> dict:
     extracted = with_bucket(apply_kernel(corpus), 64).repartition(
         64, "part_bucket"
     )
+    obs = Observation("bench_metrics")
+    extracted = extracted.observe(
+        obs, F.count(F.lit(1)).alias("docs"), F.sum("bytes_in").alias("bytes")
+    )
     extracted.write.mode("overwrite").parquet(out_dir)
     wall = time.monotonic() - t0
-    stats = spark.read.parquet(out_dir).agg(
-        F.count("*").alias("docs"), F.sum("bytes_in").alias("bytes")
-    ).collect()[0]
+    stats = obs.get
     return {
         "sec": wall,
-        "docs": stats.docs,
-        "bytes": stats.bytes,
-        "docs_per_sec": stats.docs / wall,
-        "bytes_per_sec": (stats.bytes or 0) / wall,
+        "docs": stats["docs"],
+        "bytes": stats["bytes"],
+        "docs_per_sec": stats["docs"] / wall,
+        "bytes_per_sec": (stats["bytes"] or 0) / wall,
     }
 
 

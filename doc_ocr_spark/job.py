@@ -15,8 +15,13 @@ Partitioning / resume protocol (SURVEY.md §3.5):
   changes between runs (the precondition for resume)
 - output is written ``partitionBy(part_bucket)`` in append mode
 - after a successful write, one lineage row per bucket (doc_count,
-  bytes_in, bytes_out, extractor_version, wall_ms) is appended to
-  ``<output>/_lineage``
+  bytes_out, extractor_version, wall_ms) is appended to
+  ``<output>/_lineage``.  Lineage costs NO second data pass (round-1
+  re-read the whole written output — a full extra scan at the design
+  point): doc_count comes from the parquet FOOTERS of exactly the
+  files this run added (metadata-only reads, distributed), bytes_out
+  from their on-disk sizes, and run totals (docs, bytes_in, text
+  bytes) ride the write itself via ``Observation``
 - ``--resume`` anti-joins pending buckets against committed lineage and
   processes only the remainder — a failed run never recomputes finished
   buckets
@@ -34,7 +39,7 @@ import argparse
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from doc_ocr_spark.core.extractor import KERNEL_VERSION
@@ -52,6 +57,70 @@ def completed_buckets(spark: SparkSession, output: str) -> list[int]:
     except Exception:
         return []
     return [r.part_bucket for r in ldf.select("part_bucket").distinct().collect()]
+
+
+def _list_data_files(spark: SparkSession, output: str) -> dict[str, int]:
+    """{file path -> size} for committed data files under ``output``
+    (any Hadoop-supported filesystem; skips _lineage and non-parquet).
+    One recursive listing — the same metadata walk every commit
+    protocol performs; an Iceberg catalog would serve it from
+    manifests."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(output)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return {}
+    out: dict[str, int] = {}
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet") and "/_lineage/" not in p and "part_bucket=" in p:
+            out[p] = int(st.getLen())
+    return out
+
+
+def _bucket_of(path: str) -> int:
+    seg = [s for s in path.split("/") if s.startswith("part_bucket=")][-1]
+    return int(seg.split("=", 1)[1])
+
+
+def _lineage_from_files(
+    spark: SparkSession, new_files: dict[str, int]
+) -> DataFrame:
+    """Per-bucket (doc_count, bytes_out) from file METADATA only:
+    row counts from parquet footers (a few KB per file, read
+    distributed via mapInPandas), bytes from the listing.  Never
+    touches row data."""
+    import pandas as pd
+
+    rows = [(p, sz, _bucket_of(p)) for p, sz in sorted(new_files.items())]
+    fdf = spark.createDataFrame(rows, "path string, fsize long, part_bucket int")
+
+    def _footer_counts(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p, sz, b in zip(pdf["path"], pdf["fsize"], pdf["part_bucket"]):
+                local = p[5:] if p.startswith("file:") else p
+                out.append(
+                    {
+                        "part_bucket": int(b),
+                        "doc_count": int(pq.ParquetFile(local).metadata.num_rows),
+                        "bytes_out": int(sz),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    counted = fdf.mapInPandas(
+        _footer_counts, "part_bucket int, doc_count long, bytes_out long"
+    )
+    return counted.groupBy("part_bucket").agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("bytes_out").alias("bytes_out"),
+    )
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -140,32 +209,40 @@ def run_extraction(
         # wire; input-side skew is bounded by parquet split bytes.
         extracted = extracted.repartition(n_buckets, "part_bucket")
 
-    extracted.write.mode("append").partitionBy("part_bucket").parquet(output)
-
-    # lineage from the committed files (written only after a successful
-    # output commit -> checkpoint semantics)
-    out_df = spark.read.parquet(output)
-    if done:
-        out_df = out_df.filter(~F.col("part_bucket").isin([int(b) for b in done]))
-    wall_ms = int((time.monotonic() - t0) * 1000)
-    lineage = (
-        out_df.groupBy("part_bucket")
-        .agg(
-            F.count("*").alias("doc_count"),
-            F.sum("bytes_in").alias("bytes_in"),
-            F.sum(F.length("extracted_text")).alias("bytes_out"),
-        )
-        .withColumn("extractor_version", F.lit(KERNEL_VERSION))
-        .withColumn("wall_ms", F.lit(wall_ms))
+    # run totals ride the write action itself — no separate agg pass
+    obs = Observation("extract_metrics")
+    extracted = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum(F.length("extracted_text")).alias("text_bytes"),
     )
-    lineage.write.mode("append").parquet(lineage_path(output))
 
-    stats = lineage.agg(
-        F.sum("doc_count").alias("docs"), F.sum("bytes_in").alias("bytes")
-    ).collect()[0]
+    files_before = _list_data_files(spark, output)
+    extracted.write.mode("append").partitionBy("part_bucket").parquet(output)
+    metrics = obs.get
+    new_files = {
+        p: sz
+        for p, sz in _list_data_files(spark, output).items()
+        if p not in files_before
+    }
+
+    # lineage from the committed files' METADATA (written only after a
+    # successful output commit -> checkpoint semantics); the round-1
+    # version re-read the entire written output here — a second full
+    # data pass at the design point
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    if new_files:
+        lineage = (
+            _lineage_from_files(spark, new_files)
+            .withColumn("extractor_version", F.lit(KERNEL_VERSION))
+            .withColumn("wall_ms", F.lit(wall_ms))
+        )
+        lineage.write.mode("append").parquet(lineage_path(output))
     return {
-        "docs": stats.docs or 0,
-        "bytes": stats.bytes or 0,
+        "docs": metrics["docs"] or 0,
+        "bytes": metrics["bytes_in"] or 0,
+        "text_bytes": metrics["text_bytes"] or 0,
         "wall_s": wall_ms / 1000.0,
         "buckets_run": n_buckets - len(done),
         "resumed": bool(done),

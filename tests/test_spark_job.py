@@ -55,6 +55,45 @@ def test_job_end_to_end_with_lineage(spark, corpus_path, tmp_path):
     assert compare_to_golden(_rows(result.drop("part_bucket", "bytes_in", "extractor_version")), golden_rows(N_DOCS)) == []
 
 
+def test_lineage_costs_no_output_data_read(spark, corpus_path, tmp_path, monkeypatch):
+    """Round-1 regression guard: lineage must come from file METADATA
+    (footers + listing) and Observation, never from re-reading the
+    written output — at the design point that re-read was a second full
+    pass over the extracted corpus.  Intercepts DataFrameReader.parquet
+    and fails if the output path is ever loaded during the job."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    out = str(tmp_path / "out_noreread")
+    real_parquet = DataFrameReader.parquet
+    read_paths = []
+
+    def spy(self, *paths, **opts):
+        read_paths.extend(paths)
+        return real_parquet(self, *paths, **opts)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    m = run_extraction(spark, corpus_path, out, n_buckets=8)
+    assert m["docs"] == N_DOCS
+    offenders = [
+        p for p in read_paths
+        if p.startswith(out) and not p.startswith(os.path.join(out, "_lineage"))
+    ]
+    assert offenders == [], f"job re-read its own output: {offenders}"
+    # and the metadata-derived lineage is still exact
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == N_DOCS
+    assert lin.filter(F.col("bytes_out") <= 0).count() == 0
+    per_bucket = {
+        r.part_bucket: r.doc_count for r in lin.collect()
+    }
+    actual = {
+        r.part_bucket: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("part_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_bucket == actual
+
+
 def test_job_resume_skips_completed_buckets(spark, corpus_path, tmp_path):
     out = str(tmp_path / "out2")
     run_extraction(spark, corpus_path, out, n_buckets=8)
