@@ -73,6 +73,22 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# Inverted-index DF cap: a shingle present in more than this many docs
+# contributes O(df^2) candidate pairs — ONE ubiquitous boilerplate
+# shingle turns the self-join quadratic on a hot key.  Dropping
+# high-df shingles BEFORE the join bounds every key's fan-out; the
+# semantics become "Jaccard over shingles with df <= cap" (sizes and
+# intersections both over the filtered sets, so the ratio stays
+# internally consistent), which is the standard boilerplate-blind
+# near-dup measure.  The oracle mirrors the cap.
+JACCARD_DF_CAP = 100
+
+
+def _df_capped(sh: DataFrame, cap: int = JACCARD_DF_CAP) -> DataFrame:
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return sh.join(dfreq.filter(F.col("df") <= cap).select("s"), "s")
+
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing >=1 shingle."""
     a = sh.alias("a")
@@ -98,8 +114,9 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup baseline: full inverted-index join + Jaccard filter."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    """Near-dup baseline: inverted-index join + Jaccard filter, with the
+    df cap bounding hot-shingle fan-out (see JACCARD_DF_CAP)."""
+    sh = _df_capped(_shingles(load(spark, sf_dir, "documents")))
     return _jaccard_pairs(sh).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     ).select("doc_a", "doc_b", "jaccard")
@@ -107,12 +124,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
+dfreq AS (SELECT s, count(*) AS df FROM shingles GROUP BY s),
+capped AS (
+  SELECT sh.doc_id, sh.s FROM shingles sh
+  JOIN dfreq USING (s) WHERE df <= {JACCARD_DF_CAP}
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1)
 SELECT doc_a, doc_b,
        round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
 FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
@@ -278,34 +300,93 @@ FROM sums
 """
 
 
+WINNOW_K = 8   # k-gram length (chars)
+WINNOW_W = 4   # window: one selection per W consecutive k-gram hashes
+_POS_PAD = 9   # zero-pad width for the position tie-break suffix
+
+
 def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: minimum md5 over 8-char shingles sampled at
-    stride 4 (rolling-hash winnowing, deterministic)."""
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken 2003): hash EVERY
+    k-gram, slide a window of W consecutive hashes, select each
+    window's minimum — ties broken to the RIGHTMOST position — and
+    fingerprint = the distinct selected (hash, pos) set.  Guarantee:
+    any substring match of length >= W + K - 1 shares a fingerprint
+    (position-robust, unlike round 1's single global-min which this
+    replaces).
+
+    Engine-portable rightmost-min trick: the window minimum is taken
+    over ``md5hex || lpad(10^9 - i)`` — lexicographic order on the
+    fixed-width key compares hash first, then DESCENDING position, so
+    both engines pick the identical (min hash, max pos) selection.
+    The position suffix is stripped AFTER selection: the fingerprint
+    set is the distinct selected HASHES, so the guarantee holds across
+    documents (a shared substring shares hashes, not positions).
+    Output: one row per doc with the selection count and an md5 over
+    the sorted selection set (scalar cells for the driver canon)."""
     docs = load(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)), F.lit(4)
-                )
-            ).alias("i"),
-            "text",
-        )
-        .select("doc_id", F.md5(F.expr("substr(text, i, 8)")).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.min("h").alias("fingerprint"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1)))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        F.concat(
+            F.md5(F.expr(f"substr(text, i, {WINNOW_K})")),
+            F.lpad((F.lit(10 ** _POS_PAD) - F.col("i")).cast("string"), _POS_PAD + 1, "0"),
+        ).alias("key"),
+    )
+    from pyspark.sql.window import Window
+
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    part = Window.partitionBy("doc_id")
+    selected = (
+        grams.withColumn("sel", F.min("key").over(frame))
+        .withColumn("m", F.count(F.lit(1)).over(part))
+        # only positions that START a full window select (truncated
+        # trailing frames would re-select with a weaker guarantee)
+        .filter(F.col("i") <= F.greatest(F.col("m") - (WINNOW_W - 1), F.lit(1)))
+        .select("doc_id", F.substring("sel", 1, 32).alias("sel"))
+    )
+    return selected.groupBy("doc_id").agg(
+        F.size(F.collect_set("sel")).alias("n_fp"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("sel")))).alias(
+            "fingerprint"
+        ),
     )
 
 
-FINGERPRINT_SQL = """
+FINGERPRINT_SQL = f"""
 WITH pos AS (
   SELECT doc_id, text,
-         unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS i
+         unnest(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1))) AS i
   FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+         md5(substr(text, i, {WINNOW_K}))
+           || lpad(CAST({10 ** _POS_PAD} - i AS VARCHAR), {_POS_PAD + 1}, '0') AS key
+  FROM pos
+),
+sel AS (
+  SELECT doc_id, i,
+         substr(min(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING), 1, 32) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM grams
 )
-SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
-FROM pos GROUP BY doc_id
+SELECT doc_id,
+       len(list_distinct(list(sel))) AS n_fp,
+       md5(array_to_string(list_sort(list_distinct(list(sel))), ',')) AS fingerprint
+FROM sel
+WHERE i <= greatest(m - {WINNOW_W - 1}, 1)
+GROUP BY doc_id
 """
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

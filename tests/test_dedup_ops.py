@@ -1,0 +1,118 @@
+"""Dedup operator semantics beyond the oracle gate: true-winnowing
+selection vs an independent Python reference (plus the published
+guarantee), and the inverted-index df cap under a hot-shingle corpus."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.operators import dedup as D
+
+
+def _winnow_ref(text: str, k: int = D.WINNOW_K, w: int = D.WINNOW_W) -> set[str]:
+    """Independent sequential winnowing (Schleimer et al. fig. 5 with
+    rightmost-min ties): returns the selected HASH set."""
+    m = max(len(text) - k + 1, 1)
+    keys = []
+    for i in range(1, m + 1):
+        h = hashlib.md5(text[i - 1 : i - 1 + k].encode("utf-8")).hexdigest()
+        keys.append(h + str(10**D._POS_PAD - i).zfill(D._POS_PAD + 1))
+    sels = set()
+    for j in range(max(m - w + 1, 1)):
+        sels.add(min(keys[j : j + w])[:32])
+    return sels
+
+
+def _docs_table(spark, tmp_path, texts):
+    d = tmp_path / "sfdir"
+    d.mkdir(exist_ok=True)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_winnow_matches_independent_reference(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short",
+        "x" * 7,          # shorter than k: one degenerate gram
+        "abcdefgh",       # exactly k: single window of one hash
+        "aaaaaaaaaaaaaaaaaaaa",  # all-identical grams: tie-break path
+        "pack my box with five dozen liquor jugs pack my box with five",
+    ]
+    sf = _docs_table(spark, tmp_path, texts)
+    got = {r.doc_id: (r.n_fp, r.fingerprint) for r in D.fingerprint_winnow(spark, sf).collect()}
+    for i, t in enumerate(texts):
+        sels = _winnow_ref(t)
+        exp_fp = hashlib.md5(",".join(sorted(sels)).encode()).hexdigest()
+        assert got[i] == (len(sels), exp_fp), (i, t)
+
+
+def test_winnow_guarantee_shared_substring_shares_hash(spark, tmp_path):
+    """Published guarantee: a common substring of length >= W + K - 1
+    shares at least one selected hash between the two documents."""
+    t = D.WINNOW_W + D.WINNOW_K - 1
+    shared = "zqjvkwxbyfmg"[: t + 3]  # > t chars, rare letters
+    a = "lorem ipsum dolor " + shared + " sit amet consectetur"
+    b = "completely different prefix text " + shared + " and another tail"
+    assert _winnow_ref(a) & _winnow_ref(b)
+    # and a pair with NO long shared substring shares nothing
+    c = "unrelated content entirely here with no overlap at all ok"
+    assert not (_winnow_ref(a) & _winnow_ref(c))
+
+
+def test_winnow_position_robust_unlike_global_min(spark, tmp_path):
+    """The round-1 global-min fingerprint changed whenever any prefix
+    shifted content; winnowing selections from an unchanged tail
+    survive a prefix edit."""
+    tail = " the common long tail that should keep matching fingerprints"
+    a = "prefix one" + tail
+    b = "a totally different and longer prefix two" + tail
+    assert _winnow_ref(a) & _winnow_ref(b)
+
+
+def test_jaccard_df_cap_bounds_hot_shingle(spark, tmp_path):
+    """One shingle shared by EVERY doc (df >> cap) must not generate
+    quadratic candidate pairs; genuine near-dups sharing rare shingles
+    are still found."""
+    hot = "copyright footer boilerplate"
+    n = D.JACCARD_DF_CAP + 30
+    texts = [f"{hot} unique{i} filler{i} words{i} tail{i}" for i in range(n)]
+    # two genuine near-dups: identical long bodies + the hot shingle
+    dup = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    texts.append(f"{hot} {dup}")
+    texts.append(f"{hot} {dup}")
+    sf = _docs_table(spark, tmp_path, texts)
+    pairs = D.ngram_jaccard_pairs(spark, sf).collect()
+    ids = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (n, n + 1) in ids          # the real near-dup pair survives
+    # the hot shingle alone creates no pairs: everything else disjoint
+    assert ids == {(n, n + 1)}
+    for r in pairs:
+        assert r.jaccard == 1.0       # computed over capped sets only
+
+
+def test_jaccard_df_cap_mirrored_by_oracle(spark, tmp_path):
+    """The oracle SQL applies the same cap (run on the same tiny
+    corpus via DuckDB)."""
+    import duckdb
+
+    hot = "copyright footer boilerplate"
+    n = D.JACCARD_DF_CAP + 10
+    texts = [f"{hot} unique{i} filler{i} words{i} tail{i}" for i in range(n)]
+    dup = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    texts += [f"{hot} {dup}", f"{hot} {dup}"]
+    sf = _docs_table(spark, tmp_path, texts)
+    spark_rows = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf}/documents.parquet/*.parquet')"  # Spark writes a dir
+    )
+    oracle_rows = set(map(tuple, con.sql(D.JACCARD_SQL).fetchall()))
+    assert spark_rows == oracle_rows
