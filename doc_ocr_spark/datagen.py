@@ -14,6 +14,8 @@ style (tests/test_invoice_rule_extractor.py:17-58) lifted to web pages:
   sum-missing        failure taxonomy (incomplete rows kept as data)
   last-row-fold      zh invoice whose wrapped name tail abuts the sum
                      row (L16 anchor_skip_before_sum fold)
+  rotated180/270     upside-down / counter-clockwise scans (P1/P2's
+                     full {0,90,180,270} label set)
   region-split       left/right page-region field scoping (L6)
   first-row-anchor   required-only anchor fallback in L16
   empty              empty html guard
@@ -57,6 +59,8 @@ FAMILIES = (
     "regionsplit",
     "firstrowanchor",
     "rotated",
+    "rotated180",
+    "rotated270",
     "multipage",
     "empty",
     "giantblob",
@@ -76,6 +80,8 @@ _WEIGHTS = {
     "regionsplit": 4,
     "firstrowanchor": 3,
     "rotated": 3,
+    "rotated180": 2,
+    "rotated270": 2,
     "multipage": 3,
     "empty": 2,
     "giantblob": 2,
@@ -436,6 +442,12 @@ def make_page(seq: int, seed: int = 42, giant_repeat: int = 60) -> dict:
         html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
     elif family == "rotated":
         toks = _rotate_cw(_invoice_en_doc(r, seq))
+        html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
+    elif family == "rotated180":
+        toks = _rotate_cw(_rotate_cw(_invoice_en_doc(r, seq)))
+        html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
+    elif family == "rotated270":
+        toks = _rotate_cw(_rotate_cw(_rotate_cw(_invoice_en_doc(r, seq))))
         html_bytes, text = _pdftok_bytes(toks), _pdftok_text(toks)
     elif family == "multipage":
         toks = _multipage_doc(r, seq)

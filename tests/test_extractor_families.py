@@ -29,6 +29,8 @@ def _results():
         ("regionsplit", True, ()),
         ("firstrowanchor", True, ()),
         ("rotated", True, ()),
+        ("rotated180", True, ()),
+        ("rotated270", True, ()),
         ("multipage", True, ()),
         ("empty", False, ("empty_document",)),
         ("multicolumn", False, ("template_not_matched",)),
@@ -114,14 +116,39 @@ def test_rotated_recovers_same_fields_as_upright():
     assert a.fields_json == b.fields_json
 
 
+def test_rotated_180_and_270_extract_byte_identically_to_upright():
+    """The full {0,90,180,270} label set (reference preprocess.py:
+    127-139): every rotation of an invoice extracts BYTE-identically
+    (text, spans, fields, errors) to its upright twin."""
+    from doc_ocr_spark.datagen import _invoice_en_doc, _pdftok_bytes, _rotate_cw, _rng
+
+    for seq in (3, 9, 17, 25):
+        up_toks = _invoice_en_doc(_rng(42, seq), seq)
+        a = extract_document("u", _pdftok_bytes(up_toks))
+        toks = up_toks
+        for nrot in (1, 2, 3):
+            toks = _rotate_cw(toks)
+            b = extract_document("u", _pdftok_bytes(toks))
+            assert (
+                a.extracted_text == b.extracted_text
+                and a.spans == b.spans
+                and a.fields_json == b.fields_json
+                and a.errors == b.errors
+            ), (seq, nrot * 90)
+
+
 def test_rotation_detector_is_a_noop_on_upright_pages():
+    """No upright family may be misread as rotated — including the
+    column layouts that break variance-based flush-left cues."""
     from doc_ocr_spark.core.layout import detect_rotation
     from doc_ocr_spark.core.extractor import _parse_pdftok
 
     for fam, page, res in _results():
-        if fam not in ("multicolumn", "splitanchor", "nonlatin"):
+        if fam in ("rotated", "rotated180", "rotated270", "empty") or not page[
+            "html"
+        ].startswith(b"PDFTOK\n"):
             continue
-        toks = _parse_pdftok(page["html"])
+        toks = [t for t in _parse_pdftok(page["html"]) if t.page == 1]
         assert detect_rotation(toks) == 0, page["url"]
 
 
