@@ -202,12 +202,19 @@ def detect_rotation(tokens: list[Token]) -> int:
     if len(aspects) < 3:
         return 0
     median = aspects[len(aspects) // 2]
-    base, alt = (90, 270) if median < 0.9 else (0, 180)
-    s_base = _alignment_score(unrotate_tokens(tokens, base))
-    s_alt = _alignment_score(unrotate_tokens(tokens, alt))
+    if median >= 0.9:
+        # {0,180}: x -> W - x is a reflection, so score(180) is
+        # -score(0) up to bucket rounding — ONE clustering decides
+        # (keeps the detector cheap on the upright common case)
+        s = _alignment_score(tokens)
+        if s is None:
+            return 0
+        return 180 if -s > s + 0.1 else 0
+    s_base = _alignment_score(unrotate_tokens(tokens, 90))
+    s_alt = _alignment_score(unrotate_tokens(tokens, 270))
     if s_base is None or s_alt is None:
-        return base
-    return alt if s_alt > s_base + 0.1 else base
+        return 90
+    return 270 if s_alt > s_base + 0.1 else 90
 
 
 def unrotate_tokens(tokens: list[Token], angle: int) -> list[Token]:

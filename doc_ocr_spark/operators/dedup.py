@@ -85,8 +85,17 @@ JACCARD_DF_CAP = 100
 
 
 def _df_capped(sh: DataFrame, cap: int = JACCARD_DF_CAP) -> DataFrame:
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    return sh.join(dfreq.filter(F.col("df") <= cap).select("s"), "s")
+    # anti-join against the HOT set only: shingles above the cap are by
+    # construction few (each needs > cap docs), so the blacklist
+    # broadcasts and the cap costs one map-side filter, not a shuffle
+    # join against the full (s, df) table
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
@@ -322,43 +331,38 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is the distinct selected HASHES, so the guarantee holds across
     documents (a shared substring shares hashes, not positions).
     Output: one row per doc with the selection count and an md5 over
-    the sorted selection set (scalar cells for the driver canon)."""
-    docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1)))
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        "i",
-        F.concat(
-            F.md5(F.expr(f"substr(text, i, {WINNOW_K})")),
-            F.lpad((F.lit(10 ** _POS_PAD) - F.col("i")).cast("string"), _POS_PAD + 1, "0"),
-        ).alias("key"),
-    )
-    from pyspark.sql.window import Window
+    the sorted selection set (scalar cells for the driver canon).
 
-    frame = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    part = Window.partitionBy("doc_id")
-    selected = (
-        grams.withColumn("sel", F.min("key").over(frame))
-        .withColumn("m", F.count(F.lit(1)).over(part))
-        # only positions that START a full window select (truncated
-        # trailing frames would re-select with a weaker guarantee)
-        .filter(F.col("i") <= F.greatest(F.col("m") - (WINNOW_W - 1), F.lit(1)))
-        .select("doc_id", F.substring("sel", 1, 32).alias("sel"))
-    )
-    return selected.groupBy("doc_id").agg(
-        F.size(F.collect_set("sel")).alias("n_fp"),
-        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("sel")))).alias(
-            "fingerprint"
+    Plan shape: entirely IN-ROW array expressions — k-gram keys via
+    transform(sequence), window minima via array_min(slice), dedup/sort
+    in-row — so the whole operator is a map-only projection with NO
+    shuffle.  An explode + window-function formulation measures about
+    the same wall time at sf0.1 (interpreted array lambdas vs a
+    partitionBy(doc_id) exchange+sort of every k-gram row), but at
+    corpus scale the window form shuffles ~len(text) rows per document
+    for a computation that is strictly per-doc-local — the map-only
+    form is the one that survives 100x."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1))
+    keys = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat(
+            F.md5(F.col("text").substr(i, F.lit(WINNOW_K))),
+            F.lpad((F.lit(10 ** _POS_PAD) - i).cast("string"), _POS_PAD + 1, "0"),
         ),
+    )
+    with_keys = docs.select("doc_id", m.alias("m"), keys.alias("keys"))
+    # one selection per full-window start; truncated trailing frames
+    # would re-select with a weaker guarantee
+    sels = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("m") - (WINNOW_W - 1), F.lit(1))),
+        lambda j: F.substring(F.array_min(F.slice("keys", j, WINNOW_W)), 1, 32),
+    )
+    fp = F.array_sort(F.array_distinct(sels))
+    return with_keys.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.md5(F.concat_ws(",", fp)).alias("fingerprint"),
     )
 
 
