@@ -75,11 +75,17 @@ def merge_tokens(
 ) -> list[Token]:
     """L3 — x-sorted adjacency fold.
 
-    Merge ``next`` into ``prev`` iff ``next.x1 - prev.x2 <= max_x_gap``
-    and (when ``merge_single_char``) one side is a single character.
-    Merged bbox is the union; merged text is direct concatenation (no
-    separator) — the split-anchor repair (`合` + `计` -> `合计`).
+    Merge ``next`` into ``prev`` iff ``max_x_gap > 0`` and
+    ``next.x1 - prev.x2 <= max_x_gap`` and (when ``merge_single_char``)
+    one side is a single character.  ``max_x_gap <= 0`` disables
+    merging entirely — the reference treats a non-positive gap config
+    as "off" (text_normalize.py:138-141), it does NOT mean "merge only
+    touching tokens".  Merged bbox is the union; merged text is direct
+    concatenation (no separator) — the split-anchor repair
+    (`合` + `计` -> `合计`).
     """
+    if max_x_gap <= 0:
+        return sorted(tokens, key=lambda t: t.x1)
     ordered = sorted(tokens, key=lambda t: t.x1)
     out: list[Token] = []
     for tok in ordered:

@@ -44,6 +44,16 @@ def test_merge_tokens_gap_and_union_bbox():
     assert merged[0].x1 == 40 and merged[0].x2 == 68
 
 
+def test_merge_tokens_zero_gap_disables_merging():
+    """Reference semantics (text_normalize.py:138-141): max_x_gap <= 0
+    means merging is OFF — even touching tokens stay separate (round 1
+    merged at gap 0, a divergence in a byte-identity operator)."""
+    touching = [T("ab", 0, 0, 10), T("cd", 10, 0, 20)]
+    assert [t.text for t in merge_tokens(touching, max_x_gap=0.0)] == ["ab", "cd"]
+    assert [t.text for t in merge_tokens(touching, max_x_gap=-1.0)] == ["ab", "cd"]
+    assert [t.text for t in merge_tokens(touching, max_x_gap=0.5)] == ["abcd"]
+
+
 def test_merge_single_char_gate():
     toks = [T("abc", 0, 0, 21), T("def", 24, 0, 45)]
     assert len(merge_tokens(toks, max_x_gap=6.0, merge_single_char=True)) == 2
