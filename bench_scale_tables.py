@@ -1,0 +1,79 @@
+"""Derive an sf1-equivalent table set from the provided sf0.1 parquet
+for BENCHMARKING ONLY (BENCH/BASELINE.md §2b).
+
+The driver ships testdata up to sf0.1, where Spark's fixed local-mode
+per-query overhead (~0.3-1 s) dominates most headline queries, making
+per-query ratios vs DuckDB uninformative (VERDICT r01 item 10).  This
+script unions K key-shifted copies of each provided FACT table — keys
+are offset per copy so join fan-outs and group cardinalities scale
+linearly, dims (nation/region) stay fixed like real dimension tables.
+Copy 0 is byte-identical to the input, so correctness semantics are
+untouched; copies >0 reuse the same value distributions (documented
+caveat: text/embedding payloads repeat, which makes dedup families see
+K-sized exact-dup clusters — a realistic crawl shape, but not fresh
+entropy).  NOT used for any correctness gate — those run only on the
+driver-provided tables.
+
+Usage: python bench_scale_tables.py [K] [out_dir]   (default K=10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SRC = "/root/testdata/sf0.1"
+
+# per-table key columns to shift by copy * (1 + max(key))
+SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+DIMS = ["nation", "region"]
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/doc_ocr_spark_bench/sf1eq"
+    os.makedirs(out, exist_ok=True)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in DIMS:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+    for t, keys in SHIFTS.items():
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        maxes = {
+            c: con.sql(f"SELECT max({c}) FROM {src}").fetchone()[0] for c in keys
+        }
+        selects = []
+        for c in range(k):
+            cols = []
+            for (name, typ) in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall():
+                if name in keys:
+                    cols.append(f"CAST({name} + {c} * {maxes[name] + 1} AS BIGINT) AS {name}")
+                else:
+                    cols.append(name)
+            selects.append(f"SELECT {', '.join(cols)} FROM {src}")
+        union = " UNION ALL ".join(selects)
+        con.sql(
+            f"COPY ({union}) TO '{out}/{t}.parquet' "
+            "(FORMAT parquet, ROW_GROUP_SIZE 200000)"
+        )
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+    print(f"wrote sf1-equivalent tables (K={k}) to {out}")
+
+
+if __name__ == "__main__":
+    main()

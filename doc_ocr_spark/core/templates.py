@@ -104,15 +104,26 @@ def match_template(
     ordering explicit so distribution cannot perturb it).
     """
     pages = sorted({t.page for t in tokens})
+    by_page = {p: [t for t in tokens if t.page == p] for p in pages}
+    bounds_of = {p: page_bounds(by_page[p]) for p in pages}
+    # templates overwhelmingly share a title y_tol — cluster once per
+    # (page, y_tol), not once per (template, page) (cProfile: the
+    # redundant clusterings were ~15% of the pdftok kernel path)
+    lines_cache: dict[tuple[int, float], list[Line]] = {}
+
+    def _lines(page: int, tol: float) -> list[Line]:
+        key = (page, tol)
+        if key not in lines_cache:
+            lines_cache[key] = cluster_lines(by_page[page], y_tol=tol)
+        return lines_cache[key]
+
     best: TemplateMatch | None = None
     for t_idx, tpl in enumerate(templates):
         rules = tpl["match_rules"]
         for page in pages:
-            page_toks = [t for t in tokens if t.page == page]
-            bounds = page_bounds(page_toks)
-            lines = cluster_lines(
-                page_toks, y_tol=rules.get("title", {}).get("y_tol", y_tol)
-            )
+            page_toks = by_page[page]
+            bounds = bounds_of[page]
+            lines = _lines(page, rules.get("title", {}).get("y_tol", y_tol))
             score = 0.0
             title_line = None
             title_rule = rules.get("title")
