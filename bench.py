@@ -56,7 +56,7 @@ HEADLINE = [
 ]
 
 # synthetic extraction corpus size per SF (docs)
-_CORPUS_DOCS = {"0.001": 500, "0.01": 4000, "0.1": 20000}
+_CORPUS_DOCS = {"0.001": 500, "0.01": 4000, "0.1": 20000, "1eq": 200000}
 
 
 def _force(df) -> None:
@@ -166,7 +166,7 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
         "unit": "sec",
         "queries": times,
         "queries_cold": cold,
-        "sf": float(sf),
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "cpus": cpus,
         "extract_docs": ext["docs"],
         "extract_docs_per_sec": round(ext["docs_per_sec"], 1),

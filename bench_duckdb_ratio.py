@@ -27,6 +27,7 @@ TABLES = (
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    skip = set(os.environ.get("RATIO_SKIP", "").split(",")) - {""}
 
     import duckdb
 
@@ -35,7 +36,7 @@ def main() -> None:
 
     oracles = entry.oracle_sql()
     queries = entry.queries()
-    names = sorted(n for n in queries if n in oracles)
+    names = sorted(n for n in queries if n in oracles and n not in skip)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -43,15 +44,33 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    duck: dict[str, float] = {}
+    budget = float(os.environ.get("RATIO_BUDGET_S", "120"))
+
+    def _timed_duck(sql: str) -> float | None:
+        """One timed run, interrupted past the budget (None = timeout)."""
+        import threading
+
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
+        t0 = time.monotonic()
+        try:
+            con.sql(sql).fetchall()
+            return time.monotonic() - t0
+        except duckdb.InterruptException:
+            return None
+        finally:
+            timer.cancel()
+
+    duck: dict[str, float | None] = {}
     for n in names:
-        con.sql(oracles[n]).fetchall()  # warm (IO cache, catalog)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            con.sql(oracles[n]).fetchall()
-            best = min(best, time.monotonic() - t0)
-        duck[n] = round(best, 4)
+        first = _timed_duck(oracles[n])  # warm (IO cache, catalog)
+        if first is None:
+            duck[n] = None
+            print(f"duckdb timeout (> {budget}s): {n}", file=sys.stderr)
+            continue
+        second = _timed_duck(oracles[n])
+        duck[n] = round(min(first, second if second is not None else first), 4)
+        print(f"duckdb {n}: {duck[n]}", file=sys.stderr)
 
     spark = get_spark("duckdb-ratio")
     sparkt: dict[str, float] = {}
@@ -63,13 +82,18 @@ def main() -> None:
             queries[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
         sparkt[n] = round(best, 4)
+        print(f"spark {n}: {sparkt[n]}", file=sys.stderr)
     spark.stop()
 
     rows = {
         n: {
             "spark_s": sparkt[n],
             "duckdb_s": duck[n],
-            "ratio": round(sparkt[n] / max(duck[n], 1e-4), 2),
+            "ratio": (
+                round(sparkt[n] / max(duck[n], 1e-4), 2)
+                if duck[n] is not None
+                else None
+            ),
         }
         for n in names
     }

@@ -59,7 +59,8 @@ def main() -> None:
         selects = []
         for c in range(k):
             cols = []
-            for (name, typ) in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall():
+            for row in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall():
+                name = row[0]
                 if name in keys:
                     cols.append(f"CAST({name} + {c} * {maxes[name] + 1} AS BIGINT) AS {name}")
                 else:
