@@ -50,16 +50,31 @@ def main() -> None:
         """One timed run, interrupted past the budget (None = timeout)."""
         import threading
 
-        timer = threading.Timer(budget, con.interrupt)
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            con.interrupt()
+
+        timer = threading.Timer(budget, _interrupt)
         timer.start()
         t0 = time.monotonic()
         try:
             con.sql(sql).fetchall()
-            return time.monotonic() - t0
+            elapsed = time.monotonic() - t0
         except duckdb.InterruptException:
             return None
         finally:
             timer.cancel()
+        if fired.is_set():
+            # the timer fired AFTER the query finished: swallow the
+            # pending interrupt so it cannot abort the NEXT query
+            try:
+                con.sql("SELECT 1").fetchall()
+            except duckdb.InterruptException:
+                pass
+            return None  # finished only by grace of the race: treat as over budget
+        return elapsed
 
     duck: dict[str, float | None] = {}
     for n in names:

@@ -24,17 +24,24 @@ import sys
 
 SRC = "/root/testdata/sf0.1"
 
-# per-table key columns to shift by copy * (1 + max(key))
-SHIFTS = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
+# key DOMAINS: every column sharing a domain must shift by the SAME
+# offset (max over the whole domain), or FK references dangle in
+# copies > 0 (e.g. customers without orders make max(o_custkey) <
+# max(c_custkey)) and join fan-out silently deflates
+DOMAINS = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "event": [("events", "event_id")],
+    "user": [("events", "user_id")],
+    "doc": [("documents", "doc_id")],
+    "vec": [("embeddings", "vec_id")],
 }
+SHIFTS = {}
+for dom, cols in DOMAINS.items():
+    for t, c in cols:
+        SHIFTS.setdefault(t, []).append((c, dom))
 DIMS = ["nation", "region"]
 
 
@@ -51,18 +58,28 @@ def main() -> None:
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet)"
         )
+    # one offset per DOMAIN (max across all member columns)
+    dom_shift = {}
+    for dom, cols in DOMAINS.items():
+        m = max(
+            con.sql(
+                f"SELECT max({c}) FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchone()[0]
+            for t, c in cols
+        )
+        dom_shift[dom] = m + 1
+
     for t, keys in SHIFTS.items():
         src = f"read_parquet('{SRC}/{t}.parquet')"
-        maxes = {
-            c: con.sql(f"SELECT max({c}) FROM {src}").fetchone()[0] for c in keys
-        }
+        key_dom = dict(keys)
         selects = []
         for c in range(k):
             cols = []
             for row in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall():
                 name = row[0]
-                if name in keys:
-                    cols.append(f"CAST({name} + {c} * {maxes[name] + 1} AS BIGINT) AS {name}")
+                if name in key_dom:
+                    off = c * dom_shift[key_dom[name]]
+                    cols.append(f"CAST({name} + {off} AS BIGINT) AS {name}")
                 else:
                     cols.append(name)
             selects.append(f"SELECT {', '.join(cols)} FROM {src}")

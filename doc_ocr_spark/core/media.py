@@ -160,6 +160,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -290,12 +292,19 @@ def decode_video(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
 FAKE_VIDEO_MAGIC = b"FVID"
 
 
+def encode_fake_video_frames(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 -> fake-video bytes (the format's single
+    encoder — corpus builders must not duplicate the wire layout)."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    return FAKE_VIDEO_MAGIC + struct.pack("<IHH", n, h, w) + frames.tobytes()
+
+
 def encode_fake_video(n_frames: int, h: int, w: int, seed: int) -> bytes:
     """Deterministic stand-in 'video': header + seeded uint8 frames."""
     rng = np.random.default_rng(seed)
     frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
-    head = FAKE_VIDEO_MAGIC + struct.pack("<IHH", n_frames, h, w)
-    return head + frames.tobytes()
+    return encode_fake_video_frames(frames)
 
 
 def fake_video_frames(payload: bytes) -> np.ndarray:

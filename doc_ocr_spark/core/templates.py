@@ -451,6 +451,9 @@ def _next_effective_is_sum(
         if assign_row_cells(line, columns, column_map):
             return False
         if not ignore_blank:
+            # reference parity (:781-785): the lookahead stops at a
+            # blank under allow_blank even though the MAIN loop would
+            # tolerate it — deliberate asymmetry, kept byte-faithful
             return False
     return False
 

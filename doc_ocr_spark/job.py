@@ -101,14 +101,26 @@ def _lineage_from_files(
     def _footer_counts(batches):
         import pyarrow.parquet as pq
 
+        def _num_rows(p: str) -> int:
+            if p.startswith("file:"):
+                return pq.ParquetFile(p[5:]).metadata.num_rows
+            if "://" in p:
+                # non-local output (hdfs/s3a/...): resolve through
+                # pyarrow's filesystem layer — still a footer-only read
+                from pyarrow import fs as pafs
+
+                filesystem, path = pafs.FileSystem.from_uri(p)
+                with filesystem.open_input_file(path) as f:
+                    return pq.ParquetFile(f).metadata.num_rows
+            return pq.ParquetFile(p).metadata.num_rows
+
         for pdf in batches:
             out = []
             for p, sz, b in zip(pdf["path"], pdf["fsize"], pdf["part_bucket"]):
-                local = p[5:] if p.startswith("file:") else p
                 out.append(
                     {
                         "part_bucket": int(b),
-                        "doc_count": int(pq.ParquetFile(local).metadata.num_rows),
+                        "doc_count": int(_num_rows(p)),
                         "bytes_out": int(sz),
                     }
                 )

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import hashlib
 import math
-import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -78,11 +77,7 @@ def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
         elif kind == "audio":
             payload, fmt = M.encode_wav_pcm16(raw["samples"], raw["sr"]), "wav"
         else:
-            f = raw["frames"]
-            head = M.FAKE_VIDEO_MAGIC + struct.pack(
-                "<IHH", f.shape[0], f.shape[1], f.shape[2]
-            )
-            payload, fmt = head + f.tobytes(), "fake-video"
+            payload, fmt = M.encode_fake_video_frames(raw["frames"]), "fake-video"
         rows.append({"media_id": i, "kind": kind, "fmt": fmt, "payload": payload})
     return rows
 

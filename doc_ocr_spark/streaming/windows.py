@@ -138,7 +138,14 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
     ARRIVAL order — so the sort must happen over the concatenation of
     all chunks, not per chunk, or a user with >512 events in one
     trigger folds in arrival order across chunk boundaries and session
-    sums/splits diverge from the batch twin."""
+    sums/splits diverge from the batch twin.
+
+    Memory bound: this buffers ONE user's events for ONE trigger
+    (gap-sessionization needs its events in global time order, and
+    chunk arrival order is shuffle-dependent).  The operational knob
+    for a pathologically hot user is trigger size
+    (maxFilesPerTrigger / rate limits), which caps any group's rows
+    per micro-batch."""
     (user_id,) = key
     if state.exists:
         next_sid, cur_start, cur_end, cur_n, cur_sum = state.get
