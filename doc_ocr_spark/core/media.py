@@ -7,7 +7,8 @@ opaque ``binary`` column with typed metadata; per-batch numpy kernels do
 the work (SURVEY.md §2.2).
 
 Codec policy for this environment (no PIL/cv2/ffmpeg — intentional):
-- images: PNG (8-bit RGB, stdlib zlib) and PPM (P6), both from scratch
+- images: PNG (8-bit RGB, stdlib zlib), baseline JPEG (core/jpeg.py)
+  and PPM (P6) — all from scratch
 - audio:  WAV PCM16 — stdlib ``wave`` + numpy
 - video:  no codec available -> ``decode_video`` raises
   NotImplementedError; ``fake_video_frames`` provides the deterministic
@@ -219,9 +220,13 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode (PNG or PPM)."""
+    """Magic-dispatched image decode (PNG, JPEG or PPM)."""
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from doc_ocr_spark.core.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     raise ValueError("unknown image format")

@@ -62,16 +62,25 @@ def _synth_raw(i: int, seed: int = SEED) -> dict:
     return {"kind": kind, "frames": frames}
 
 
+JPEG_QUALITY = 90
+
+
 def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
-    """Deterministic media corpus: cycles image/audio/video; images are
-    PNG except every 4th, which stays PPM (both decoders exercised)."""
+    """Deterministic media corpus: cycles image/audio/video; images
+    cycle PNG / PNG / JPEG / PPM so all three decoders are exercised
+    (JPEG is the lossy one — see _expected_image_rows)."""
     rows = []
     for i in range(n):
         raw = _synth_raw(i, seed)
         kind = raw["kind"]
         if kind == "image":
-            if (i // 3) % 4 == 3:
+            slot = (i // 3) % 4
+            if slot == 3:
                 payload, fmt = M.encode_ppm(raw["px"]), "ppm"
+            elif slot == 2:
+                from doc_ocr_spark.core.jpeg import encode_jpeg
+
+                payload, fmt = encode_jpeg(raw["px"], JPEG_QUALITY), "jpeg"
             else:
                 payload, fmt = M.encode_png(raw["px"]), "png"
         elif kind == "audio":
@@ -153,13 +162,22 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _expected_image_rows() -> list[dict]:
     """Independent sequential recomputation: pure-Python feature math on
     the pre-encode pixels — no media.py decode/feature code involved, so
-    a codec or feature bug on the Spark side hash-mismatches here."""
+    a codec or feature bug on the Spark side hash-mismatches here.
+
+    Exception: JPEG items are LOSSY, so their expected features are
+    computed from the sequential decode of the payload (golden
+    discipline — the codec's own correctness is unit-tested in
+    tests/test_jpeg.py); the feature math stays independent."""
     rows = []
     for i in range(N_MEDIA):
         raw = _synth_raw(i)
         if raw["kind"] != "image":
             continue
         px = raw["px"]
+        if (i // 3) % 4 == 2:  # JPEG slot, matching synth_media_rows
+            from doc_ocr_spark.core.jpeg import decode_jpeg, encode_jpeg
+
+            px = decode_jpeg(encode_jpeg(px, JPEG_QUALITY))
         h, w = px.shape[0], px.shape[1]
         n = h * w
         sums = [0, 0, 0]

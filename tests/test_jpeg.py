@@ -1,0 +1,134 @@
+"""From-scratch baseline JPEG codec (core/jpeg.py): transform-layer
+inverses, entropy-layer exactness, lossy-bound roundtrips, wire-format
+conformance points, and error paths."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from doc_ocr_spark.core import jpeg as J
+
+
+def test_dct_idct_are_inverses():
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        b = rng.uniform(-128, 127, size=(8, 8))
+        assert np.abs(J._idct(J._fdct(b)) - b).max() < 1e-9
+
+
+def test_zigzag_is_a_permutation_with_spec_prefix():
+    assert sorted(J.ZIGZAG) == [(i, j) for i in range(8) for j in range(8)]
+    # T.81 figure 5 first entries
+    assert J.ZIGZAG[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+
+
+def test_huffman_tables_are_canonical_spec_codes():
+    # Annex K.3.1: DC luminance category codes
+    dc = J._ENC_TABLES[("dc", 0)]
+    assert dc[0] == (0b00, 2)
+    assert dc[1] == (0b010, 3)
+    assert dc[5] == (0b110, 3)
+    assert dc[11] == (0b111111110, 9)
+    # K.3.2: AC luminance EOB=1010(4), ZRL=11111111001(11)
+    ac = J._ENC_TABLES[("ac", 0)]
+    assert ac[0x00] == (0b1010, 4)
+    assert ac[0xF0] == (0b11111111001, 11)
+
+
+def test_magnitude_category_and_extend_roundtrip():
+    for v in [-255, -128, -1, 0, 1, 7, 8, 127, 255, -32, 1023]:
+        s, bits = J._magnitude(v)
+        assert J._extend(bits, s) == v
+
+
+def test_flat_image_roundtrips_exactly():
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(flat, 90)), flat)
+
+
+def test_gradient_roundtrip_bounded_and_compresses():
+    g = (
+        np.arange(32)[:, None, None] * 4
+        + np.arange(40)[None, :, None] * 3
+        + np.arange(3)[None, None, :] * 10
+    ).astype(np.uint8)
+    enc = J.encode_jpeg(g, quality=95)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 16
+    assert len(enc) < g.nbytes // 2
+
+
+def test_noise_roundtrip_nonmultiple_of_8_dims():
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(noise, quality=90))
+    assert dec.shape == noise.shape
+    # q=90 keeps even worst-case noise within a loose bound
+    assert np.abs(dec.astype(int) - noise.astype(int)).mean() < 12
+
+
+def test_encoding_is_deterministic():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(19, 22, 3), dtype=np.uint8)
+    assert J.encode_jpeg(px, 85) == J.encode_jpeg(px, 85)
+
+
+def test_entropy_layer_is_lossless():
+    """Decode must recover EXACTLY the quantized coefficients the
+    encoder emitted: re-encoding a decoded image's Y plane DC values
+    must be stable (decode(encode(decode(encode(x)))) == decode(encode(x))
+    would still wobble through the color transform, so instead assert
+    the stronger per-file property: encode -> decode -> encode with the
+    same quality is a FIXED POINT of the pixel map)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    once = J.decode_jpeg(J.encode_jpeg(px, 90))
+    twice = J.decode_jpeg(J.encode_jpeg(once, 90))
+    thrice = J.decode_jpeg(J.encode_jpeg(twice, 90))
+    # generation loss must converge (classic JPEG fixed-point behavior)
+    assert np.abs(thrice.astype(int) - twice.astype(int)).max() <= np.abs(
+        twice.astype(int) - once.astype(int)
+    ).max()
+
+
+def test_wire_format_markers():
+    enc = J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in enc[:30]
+    # SOF0 present with 8-bit precision, 3 components, 4:4:4
+    i = enc.find(b"\xff\xc0")
+    assert i > 0
+    prec, h, w, nc = enc[i + 4], *struct.unpack_from(">HH", enc, i + 5), enc[i + 9]
+    assert (prec, h, w, nc) == (8, 8, 8, 3)
+    # no bare 0xFF bytes inside the entropy scan (byte stuffing)
+    sos = enc.find(b"\xff\xda")
+    scan = enc[sos + 14 : -2]
+    j = 0
+    while j < len(scan) - 1:
+        if scan[j] == 0xFF:
+            assert scan[j + 1] == 0x00, "unstuffed 0xFF in scan"
+            j += 2
+        else:
+            j += 1
+
+
+def test_error_paths():
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x89PNG....")
+    flat = J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 90)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(flat[:30])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        J.decode_jpeg(flat[:-40])  # truncated scan
+
+
+def test_media_dispatch_and_corpus_include_jpeg():
+    from doc_ocr_spark.core import media as M
+    from doc_ocr_spark.operators import multimodal as mm
+
+    px = np.full((8, 8, 3), 99, dtype=np.uint8)
+    assert np.array_equal(M.decode_image(J.encode_jpeg(px, 90)), px)
+    fmts = {r["fmt"] for r in mm.synth_media_rows(48) if r["kind"] == "image"}
+    assert fmts == {"png", "jpeg", "ppm"}

@@ -116,7 +116,7 @@ def test_synth_media_deterministic():
     kinds = {r["kind"] for r in a}
     assert kinds == {"image", "audio", "video"}
     fmts = {r["fmt"] for r in a if r["kind"] == "image"}
-    assert fmts == {"png", "ppm"}  # both image decoders exercised
+    assert fmts == {"png", "jpeg", "ppm"}  # all three image decoders exercised
 
 
 def test_image_kernel_matches_independent_oracle(spark):
