@@ -195,23 +195,32 @@ SELECT qid, cid, sim, rank FROM (
 """
 
 
+def _argmax_assign(sims: DataFrame) -> DataFrame:
+    """(vec_id, bucket, sim): per-vector max-sim centroid with the
+    min-centroid-id tie-break, as a max_by AGGREGATION instead of a
+    row_number window — partial (map-side) aggregation reduces the
+    shuffle from n x k rows to ~n, and no per-group sort.  Sims are
+    exact (scaled-long dots, 6-dp round), so ties are exact ties and
+    the struct tie-break matches the oracle's ORDER BY sim DESC, qid."""
+    return (
+        sims.groupBy(F.col("cid").alias("vec_id"))
+        .agg(
+            F.max_by(
+                F.struct(F.col("qid"), F.col("sim")),
+                F.struct(F.col("sim"), (-F.col("qid")).alias("nq")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.qid").alias("bucket"), F.col("best.sim").alias("sim"))
+    )
+
+
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: route every vector to its max-cosine centroid
     (centroids = vec_id < N_CENTROIDS; deterministic stand-in for a
     k-means fit, which would be seeded at corpus scale)."""
     emb = _emb_with_norms(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
-    sims = _sims(cents, emb)
-    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("qid").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select(
-            F.col("cid").alias("vec_id"),
-            F.col("qid").alias("bucket"),
-            F.col("sim"),
-        )
-    )
+    return _argmax_assign(_sims(cents, emb))
 
 
 IVF_SQL = f"""
@@ -232,13 +241,7 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash in dedup.py)."""
     emb = _emb_with_norms(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
-    asg_w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("qid").asc())
-    assign = (
-        _sims(cents, emb)
-        .withColumn("rank", F.row_number().over(asg_w))
-        .filter(F.col("rank") == 1)
-        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("bucket"))
-    )
+    assign = _argmax_assign(_sims(cents, emb)).select("vec_id", "bucket")
     withb = emb.join(assign, "vec_id")
     left = withb.select(
         F.col("vec_id").alias("qid"),

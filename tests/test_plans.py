@@ -109,6 +109,40 @@ def test_approx_count_distinct_within_tolerance(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.06  # 3x rsd
 
 
+def test_winnowing_plan_is_map_only(spark):
+    """fingerprint_winnow computes window minima IN-ROW — the plan must
+    contain no Exchange at all (round-2 rework: the window-function
+    formulation shuffled every k-gram row)."""
+    from doc_ocr_spark.operators.dedup import fingerprint_winnow
+
+    plan = explain_str(fingerprint_winnow(spark, "/root/testdata/sf0.001"), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ivf_assignment_aggregates_not_windows(spark):
+    """ann_ivf_bucketed's argmax is a max_by aggregation (map-side
+    partial combine shrinks the shuffle from n x k rows to ~n) — no
+    Window/row_number in the plan."""
+    from doc_ocr_spark.operators.similarity import ann_ivf_bucketed
+
+    plan = explain_str(ann_ivf_bucketed(spark, "/root/testdata/sf0.001"), "simple")
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_norms_and_buckets_need_no_shuffle(spark):
+    """Embedding norms + hyperplane bucket bits are in-row projections:
+    up to the bucket self-join, embedding_cosine_dedup's only exchanges
+    are the two pair-join sides (round 1 spent a shuffle per norm/agg)."""
+    from doc_ocr_spark.operators.similarity import _emb_with_norms
+
+    plan = explain_str(
+        _emb_with_norms(spark, "/root/testdata/sf0.001"), "simple"
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_in_subquery_decorrelates_to_semi_join(spark):
     """Catalyst must rewrite the IN-subquery to a (broadcast) semi join
     — no nested-loop per-row subquery execution."""
