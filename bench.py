@@ -55,6 +55,17 @@ HEADLINE = [
     "extract_html_docs",
 ]
 
+# measured and reported but NOT in the headline total (keeps the
+# round-over-round "value" comparable to BENCH_r01's 27-query basis)
+EXTRA = [
+    "ann_nn_within_bucket",
+    "dedup_clusters",
+    "extract_invoices",
+    "image_decode_features",
+    "audio_decode_features",
+    "video_frame_sample",
+]
+
 # synthetic extraction corpus size per SF (docs)
 _CORPUS_DOCS = {"0.001": 500, "0.01": 4000, "0.1": 20000, "1eq": 200000}
 
@@ -158,6 +169,15 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
             _force(fn(spark, sf_dir))
             times[name] = round(time.monotonic() - t0, 3)
 
+    extra: dict[str, float] = {}
+    if include_operators:
+        for name in EXTRA:
+            fn = queries[name]
+            _force(fn(spark, sf_dir))  # warm
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            extra[name] = round(time.monotonic() - t0, 3)
+
     spark.stop()
     total = round(sum(times.values()), 3)
     return {
@@ -166,6 +186,7 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
         "unit": "sec",
         "queries": times,
         "queries_cold": cold,
+        "queries_extra": extra,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "cpus": cpus,
         "extract_docs": ext["docs"],
