@@ -93,6 +93,66 @@ def test_entropy_layer_is_lossless():
     ).max()
 
 
+def _entropy_roundtrip(blocks: list[list[int]], tclass: int) -> list[list[int]]:
+    """Huffman-encode a sequence of zigzagged coefficient blocks and
+    decode them back (the encoder/decoder primitives directly)."""
+    w = J._BitWriter()
+    pred = 0
+    for zz in blocks:
+        pred = J._encode_block(w, zz, pred, tclass)
+    w.flush()
+    r = J._BitReader(bytes(w.out))
+    dc_tab = J._DEC_TABLES[("dc", tclass)]
+    ac_tab = J._DEC_TABLES[("ac", tclass)]
+    out = []
+    pred = 0
+    for _ in blocks:
+        s = J._decode_huff(r, dc_tab)
+        pred += J._extend(r.read_bits(s), s)
+        zz = [0] * 64
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = J._decode_huff(r, ac_tab)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += rs >> 4
+            zz[k] = J._extend(r.read_bits(rs & 0xF), rs & 0xF)
+            k += 1
+        out.append(zz)
+    return out
+
+
+def test_entropy_layer_roundtrips_adversarial_blocks():
+    """The Huffman/DPCM/RLE layer must be EXACTLY lossless for any
+    coefficient content: long zero runs (ZRL), trailing zeros (EOB),
+    max-magnitude values, a lone coefficient at index 63, and random
+    sparse blocks — for both table classes."""
+    rng = np.random.default_rng(11)
+    cases = [
+        [0] * 64,                                  # all-zero (EOB right away)
+        [5] + [0] * 63,                            # DC only
+        [0] * 63 + [3],                            # wait: DC=0, AC63 nonzero
+        [-1023] + [0] * 62 + [7],                  # big DC diff + last AC
+        [1] + [0] * 16 + [2] + [0] * 16 + [-2] + [0] * 29,  # ZRL runs
+        [0, 1] + [0] * 62,
+    ]
+    cases[2] = [0] * 64
+    cases[2][0] = 0
+    cases[2][63] = 3
+    for _ in range(20):
+        zz = [0] * 64
+        for idx in rng.choice(64, size=rng.integers(1, 12), replace=False):
+            zz[int(idx)] = int(rng.integers(-1023, 1024))
+        cases.append(zz)
+    for tclass in (0, 1):
+        got = _entropy_roundtrip(cases, tclass)
+        assert got == cases, f"entropy roundtrip mismatch (class {tclass})"
+
+
 def test_wire_format_markers():
     enc = J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 90)
     assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
