@@ -22,6 +22,7 @@ from doc_ocr_spark.operators import (
     relational2,
     relational3,
     relational4,
+    sampling,
     sessionize,
     similarity,
     streaming_ops,
@@ -36,6 +37,7 @@ _MODULES = (
     sessionize,
     dedup,
     textstats,
+    sampling,
     similarity,
     extraction,
     multimodal,

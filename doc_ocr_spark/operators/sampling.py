@@ -1,0 +1,216 @@
+"""Deterministic corpus-sampling operators: stratified sampling,
+train/val/test splits, Gopher-style repetition stats.
+
+A 100-TB training-data pipeline needs *reproducible* sampling — the
+split a document lands in must be a pure function of its identity, not
+of partitioning, executor count, or RNG state, so re-runs, resumes and
+two differently-sized clusters all agree row-for-row. The standard
+trick (used by CC-Net / RedPajama-style pipelines) is to hash a stable
+key into a bucket in [0, 1000) and compare against per-stratum rates.
+
+Portability discipline: the bucket is the first 7 md5 hex nibbles of a
+salted key, recombined base-16 with ``instr``/``substr`` integer
+arithmetic only — the exact same SQL text evaluates identically in
+Spark and DuckDB (same pattern as the simhash operator,
+dedup.py). Everything is JVM-side; no Python UDFs, no shuffle for the
+sample/split themselves (map-only filters), one groupBy for the split
+census.
+
+Reference tie-in: the reference pipeline has no sampler (it is a
+one-request service, app/main.py); this module is part of the
+"training-data pipeline" mandate, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc_ocr_spark.operators import load
+
+_HEX = "0123456789abcdef"
+
+
+def bucket_sql(key_sql: str, salt: str, mod: int = 1000) -> str:
+    """SQL for a deterministic bucket in [0, mod): first 7 md5 nibbles
+    of ``salt || key`` recombined base-16, mod ``mod``.
+
+    The emitted text is valid and value-identical in Spark SQL and
+    DuckDB (md5/substr/instr/% behave the same; 28 bits fits INT).
+    """
+    h = f"md5(concat('{salt}', {key_sql}))"
+    nibs = " + ".join(
+        f"(instr('{_HEX}', substr({h}, {k + 1}, 1)) - 1) * {16 ** (6 - k)}"
+        for k in range(7)
+    )
+    return f"(({nibs}) % {mod})"
+
+
+# Per-language keep-rate (per mille): down-sample the over-represented
+# languages, keep the tail fully — the usual rebalancing shape.
+_RATES = {"en": 250, "zh": 500, "de": 500}
+_DEFAULT_RATE = 800
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{g}' THEN {r}" for g, r in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+_DOC_BUCKET = bucket_sql("CAST(doc_id AS STRING)", "sample:")
+_SPLIT_BUCKET = bucket_sql("CAST(doc_id AS STRING)", "split:")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stratified down-sample of `documents` by language.
+
+    Map-only: the filter is a pure function of doc_id/lang, so it pushes
+    into the scan stage, needs no shuffle, and yields the same kept set
+    at any parallelism. ``bucket``/``rate`` are kept in the output so
+    the decision is auditable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", F.expr(_DOC_BUCKET).cast("long"))
+        .withColumn("rate", F.expr(_RATE_CASE).cast("long"))
+        .where(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "bucket", "rate")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, lang,
+       CAST({_DOC_BUCKET} AS BIGINT) AS bucket,
+       CAST({_RATE_CASE} AS BIGINT) AS rate
+FROM documents
+WHERE {_DOC_BUCKET} < {_RATE_CASE}
+"""
+
+
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by hash
+    bucket, salted independently from the sampler) + per-(lang, split)
+    census.
+
+    The census groupBy is the only shuffle and its cardinality is
+    |langs| * 3 — trivially broadcastable downstream at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    split = (
+        F.when(F.expr(_SPLIT_BUCKET) < 800, "train")
+        .when(F.expr(_SPLIT_BUCKET) < 900, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+SPLITS_SQL = f"""
+SELECT lang,
+       CASE WHEN {_SPLIT_BUCKET} < 800 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of words
+    covered by the most frequent word 2-gram, and distinct-word ratio.
+
+    Shape at scale: the 2-gram top count is computed by exploding
+    bigrams and aggregating on (doc_id, bigram) — partial (map-side)
+    aggregation collapses each doc's repeats before the shuffle, so
+    shuffled rows are bounded by distinct bigrams, not words. The
+    distinct-word ratio stays fully in-row (array_distinct). A doc with
+    fewer than 2 words has no bigrams; the left join restores it with a
+    zero count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        words.alias("w"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        base.drop("w")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            r6(
+                F.coalesce("top_bigram_n", F.lit(0)).cast("double")
+                * 2
+                / F.col("n_words")
+            ).alias("rep2_ratio"),
+            r6(F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM base
+),
+top AS (
+  SELECT doc_id, max(n) AS top_bigram_n
+  FROM (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT base.doc_id, n_words, n_distinct,
+       CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       floor(CAST(coalesce(top_bigram_n, 0) AS DOUBLE) * 2 / n_words * 1e6 + 0.5) / 1e6
+         AS rep2_ratio,
+       floor(CAST(n_distinct AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6
+         AS distinct_ratio
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+ORACLES = {
+    "stratified_sample": STRATIFIED_SQL,
+    "corpus_splits": SPLITS_SQL,
+    "repetition_stats": REPETITION_SQL,
+}
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "corpus_splits": corpus_splits,
+    "repetition_stats": repetition_stats,
+}

@@ -155,3 +155,24 @@ def test_in_subquery_decorrelates_to_semi_join(spark):
         "simple",
     )
     assert "LeftSemi" in plan or "SemiJoin" in plan, plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """The hash-stratified sampler is a pure function of (doc_id, lang):
+    its plan must be scan -> project/filter with no Exchange, so the
+    kept set is identical at any parallelism."""
+    from doc_ocr_spark.operators.sampling import stratified_sample
+
+    plan = explain_str(stratified_sample(spark, "/root/testdata/sf0.001"), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_partial_aggregates(spark):
+    """The bigram top-count must partial-aggregate before its shuffle
+    (map-side combine collapses within-doc repeats) and never use a
+    window function."""
+    from doc_ocr_spark.operators.sampling import repetition_stats
+
+    plan = explain_str(repetition_stats(spark, "/root/testdata/sf0.001"), "formatted")
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
