@@ -8,11 +8,13 @@ script unions K key-shifted copies of each provided FACT table — keys
 are offset per copy so join fan-outs and group cardinalities scale
 linearly, dims (nation/region) stay fixed like real dimension tables.
 Copy 0 is byte-identical to the input, so correctness semantics are
-untouched; copies >0 reuse the same value distributions (documented
-caveat: text/embedding payloads repeat, which makes dedup families see
-K-sized exact-dup clusters — a realistic crawl shape, but not fresh
-entropy).  NOT used for any correctness gate — those run only on the
-driver-provided tables.
+untouched; copies >0 reuse the same value distributions but PERTURB the
+content payloads deterministically (documents.text gets a one-token
+copy suffix with n_chars recomputed; embeddings get a per-copy nudge on
+the first coordinate), so cross-copy rows are NEAR-duplicates — the
+realistic crawl shape — instead of K-sized exact-dup clusters that
+would let the exact-dedup stage collapse the scale-up.  NOT used for
+any correctness gate — those run only on the driver-provided tables.
 
 Usage: python bench_scale_tables.py [K] [out_dir]   (default K=10)
 """
@@ -80,6 +82,18 @@ def main() -> None:
                 if name in key_dom:
                     off = c * dom_shift[key_dom[name]]
                     cols.append(f"CAST({name} + {off} AS BIGINT) AS {name}")
+                elif t == "documents" and name == "text" and c > 0:
+                    # near-dup, not exact-dup, across copies
+                    cols.append(f"text || ' v{c}' AS text")
+                elif t == "documents" and name == "n_chars" and c > 0:
+                    cols.append(
+                        f"CAST(length(text || ' v{c}') AS BIGINT) AS n_chars"
+                    )
+                elif t == "embeddings" and name == "embedding" and c > 0:
+                    cols.append(
+                        f"CAST(list_prepend(CAST(embedding[1] + {c} * 0.001 "
+                        f"AS FLOAT), embedding[2:]) AS FLOAT[]) AS embedding"
+                    )
                 else:
                     cols.append(name)
             selects.append(f"SELECT {', '.join(cols)} FROM {src}")
