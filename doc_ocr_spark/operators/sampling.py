@@ -23,10 +23,11 @@ one-request service, app/main.py); this module is part of the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doc_ocr_spark.operators import load
+from doc_ocr_spark.operators.dedup import _SHINGLES_CTE, _shingles
 
 _HEX = "0123456789abcdef"
 
@@ -203,14 +204,93 @@ SELECT base.doc_id, n_words, n_distinct,
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 """
 
+# Benchmark decontamination: docs with doc_id < BENCH_DOCS stand in
+# for the held-out eval set (at corpus scale this is a side input of a
+# few thousand documents — always broadcastable).
+BENCH_DOCS = 20
+
+
+def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents sharing >=1 word-shingle with the
+    benchmark set, with the shared-shingle count.
+
+    Scale shape: the benchmark shingle set is tiny by construction, so
+    the overlap test is a BROADCAST join against the corpus shingle
+    stream — no corpus-sized shuffle; the only aggregation keys on
+    doc_id over the (few) matching rows. This is the standard
+    eval-decontamination pass (C4/GPT-3 style n-gram overlap), with the
+    n-gram order inherited from the dedup module's shingler.
+    """
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    bench = sh.filter(F.col("doc_id") < BENCH_DOCS).select("s").distinct()
+    corpus = sh.filter(F.col("doc_id") >= BENCH_DOCS)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id < {BENCH_DOCS})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM shingles JOIN bench USING (s)
+WHERE doc_id >= {BENCH_DOCS}
+GROUP BY doc_id
+"""
+
+
+# Per-domain cap (RefinedWeb/C4-style): keep at most QUOTA docs per
+# source, selected by the deterministic hash order so the kept set is
+# unbiased and reproducible.
+DOMAIN_QUOTA = 30
+
+_QUOTA_BUCKET = bucket_sql("CAST(doc_id AS STRING)", "quota:", mod=1000000)
+
+
+def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first DOMAIN_QUOTA docs per source in deterministic
+    hash order.
+
+    Scale shape: row_number + filter compiles to Spark's
+    WindowGroupLimit with a PARTIAL pass before the shuffle — each map
+    task forwards at most QUOTA rows per source it sees, so a hot
+    domain with millions of pages shuffles O(tasks x QUOTA) rows, not
+    its full volume (plan-shape-tested).
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_QUOTA_BUCKET).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_QUOTA)
+    )
+
+
+QUOTA_SQL = f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_QUOTA_BUCKET}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_QUOTA}
+"""
+
 ORACLES = {
     "stratified_sample": STRATIFIED_SQL,
     "corpus_splits": SPLITS_SQL,
     "repetition_stats": REPETITION_SQL,
+    "contamination_flags": CONTAMINATION_SQL,
+    "domain_quota": QUOTA_SQL,
 }
 
 QUERIES = {
     "stratified_sample": stratified_sample,
     "corpus_splits": corpus_splits,
     "repetition_stats": repetition_stats,
+    "contamination_flags": contamination_flags,
+    "domain_quota": domain_quota,
 }

@@ -188,3 +188,23 @@ def test_nn_bucket_self_join_reuses_assignment(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_domain_quota_partial_window_limit(spark):
+    """The per-domain cap must partial-limit BEFORE the shuffle (Spark's
+    WindowGroupLimit Partial): a hot domain forwards at most QUOTA rows
+    per map task instead of its full volume."""
+    from doc_ocr_spark.operators.sampling import domain_quota
+
+    plan = explain_str(domain_quota(spark, "/root/testdata/sf0.001"), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_contamination_joins_broadcast(spark):
+    """The benchmark shingle set is tiny by construction — the overlap
+    test must be a broadcast join, never a corpus-sized shuffle join."""
+    from doc_ocr_spark.operators.sampling import contamination_flags
+
+    plan = explain_str(contamination_flags(spark, "/root/testdata/sf0.001"), "simple")
+    assert "BroadcastHashJoin" in plan, plan
