@@ -4,8 +4,10 @@ stdlib only.
 Closes the S4 media-format gap (the reference consumes PNG/JPEG,
 app/services/pipelines/invoice.py:13-18): with PNG (media.py) this
 covers both reference wire formats.  Scope: baseline sequential DCT,
-8-bit, 3-component YCbCr 4:4:4 (no subsampling), one interleaved scan,
-the Annex-K quantization and Huffman tables.  The encoder and decoder
+8-bit, 3-component YCbCr at 4:4:4, 4:2:2 or 4:2:0 (box-mean
+downsample, replication upsample), one interleaved scan, restart
+intervals (DRI + RST0-7), the Annex-K quantization and Huffman
+tables.  The encoder and decoder
 are exact inverses of each other's ENTROPY layer (Huffman/DPCM/RLE are
 lossless); the DCT+quantization layer is lossy by design, so pixel
 round-trips are tolerance-checked and the corpus oracle for JPEG items
@@ -211,6 +213,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (markers are never stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """DPCM/AC magnitude category (SSSS) + raw extra bits."""
@@ -260,20 +267,59 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JPEG bytes (YCbCr 4:4:4)."""
+_SAMPLINGS = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _quantize(block: np.ndarray, q: np.ndarray) -> list[int]:
+    # half-away-from-zero rounding (deterministic)
+    coef = _fdct(block)
+    qc = (np.sign(coef) * np.floor(np.abs(coef) / q + 0.5)).astype(np.int32)
+    return [int(qc[ZIGZAG[k]]) for k in range(64)]
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JPEG bytes.
+
+    ``subsampling``: "444" (default; byte-identical to the original
+    single-path encoder), "422", or "420" (box-mean chroma
+    downsampling).  ``restart_interval`` > 0 emits a DRI segment and a
+    byte-aligned RSTn marker every that many MCUs with DC-predictor
+    reset — the wire feature real encoders use so a corrupted scan
+    loses one restart segment, not the rest of the image.
+    """
     h, wid, c = px.shape
     assert c == 3
+    factors = _SAMPLINGS[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     qts = [_quality_scale(QT_LUMA, quality), _quality_scale(QT_CHROMA, quality)]
     ycc = _rgb_to_ycbcr(px) - 128.0  # level shift
-    # pad to multiples of 8 by edge replication
-    ph, pw = (h + 7) // 8 * 8, (wid + 7) // 8 * 8
+    # pad to whole MCUs by edge replication
+    ph = (h + 8 * vmax - 1) // (8 * vmax) * (8 * vmax)
+    pw = (wid + 8 * hmax - 1) // (8 * hmax) * (8 * hmax)
     padded = np.zeros((ph, pw, 3))
     padded[:h, :wid] = ycc
     if ph > h:
         padded[h:, :wid] = ycc[h - 1 : h, :]
     if pw > wid:
         padded[:, wid:] = padded[:, wid - 1 : wid]
+    # per-component planes, chroma box-mean downsampled to its factor
+    planes = []
+    for ci, (fh, fv) in enumerate(factors):
+        plane = padded[:, :, ci]
+        ry, rx = vmax // fv, hmax // fh
+        if ry > 1 or rx > 1:
+            plane = plane.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        planes.append(plane)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -282,8 +328,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
         zz = bytes(int(qt[ZIGZAG[k]]) for k in range(64))
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, wid, 3)
-    for comp, (tq,) in enumerate([(0,), (1,), (1,)]):
-        out += struct.pack("BBB", comp + 1, 0x11, tq)  # 4:4:4, no subsampling
+    for comp, ((fh, fv), tq) in enumerate(zip(factors, (0, 1, 1))):
+        out += struct.pack("BBB", comp + 1, (fh << 4) | fv, tq)
     for tclass, tid, bits, vals in [
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
         (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
@@ -292,6 +338,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
     ]:
         body = bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">HB", 3 + len(body), (tclass << 4) | tid) + body
+    if restart_interval > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for comp, tabs in [(1, 0x00), (2, 0x11), (3, 0x11)]:
         out += struct.pack("BB", comp, tabs)
@@ -299,18 +347,24 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
 
     w = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp in range(3):
+    mcu_idx = 0
+    rst = 0
+    for my in range(ph // (8 * vmax)):
+        for mx in range(pw // (8 * hmax)):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            for comp, (fh, fv) in enumerate(factors):
                 tc = 0 if comp == 0 else 1
-                block = padded[by : by + 8, bx : bx + 8, comp]
-                coef = _fdct(block)
-                q = qts[tc]
-                # half-away-from-zero rounding (deterministic)
-                qc = np.sign(coef) * np.floor(np.abs(coef) / q + 0.5)
-                qc = qc.astype(np.int32)
-                zz = [int(qc[ZIGZAG[k]]) for k in range(64)]
-                preds[comp] = _encode_block(w, zz, preds[comp], tc)
+                for vy in range(fv):
+                    for vx in range(fh):
+                        by = (my * fv + vy) * 8
+                        bx = (mx * fh + vx) * 8
+                        block = planes[comp][by : by + 8, bx : bx + 8]
+                        zz = _quantize(block, qts[tc])
+                        preds[comp] = _encode_block(w, zz, preds[comp], tc)
+            mcu_idx += 1
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -348,6 +402,20 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self, expected: int) -> None:
+        """Discard pad bits, consume the byte-aligned RSTn marker, and
+        verify its sequence number (T.81 E.1.4)."""
+        self.nbits = 0  # drop 1-padding of the finished segment
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG scan at restart")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        if self.data[self.pos + 1] - 0xD0 != expected:
+            raise ValueError("restart marker out of sequence")
+        self.pos += 2
+
 
 def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
@@ -365,9 +433,12 @@ def _extend(bits: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB.  Supports the subset
-    this module emits: 8-bit, 3 components, 4:4:4, one scan, no restart
-    markers (raises ValueError on anything else)."""
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB.  Supports 8-bit,
+    3-component baseline sequential with any sampling factors whose
+    ratios to Hmax/Vmax are integral (covers 4:4:4, 4:2:2, 4:2:0),
+    one interleaved scan, and restart intervals (DRI + RST0-7 with
+    sequence verification).  Raises ValueError on anything else
+    (progressive, 16-bit tables, 4-component, ...)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -376,7 +447,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     h = wid = None
     comp_q: dict[int, int] = {}
+    comp_hv: dict[int, tuple[int, int]] = {}
     comp_tabs: dict[int, tuple[int, int]] = {}
+    comp_order: list[int] = []
+    restart_interval = 0
     scan_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -407,9 +481,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit 3-component baseline supported")
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("subsampling unsupported (4:4:4 only)")
+                comp_hv[cid] = (hv >> 4, hv & 0xF)
                 comp_q[cid] = tq
+                comp_order.append(cid)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:  # DHT
@@ -422,8 +496,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tab = _build_decode(bits, vals)
                 (dc_tabs if tclass == 0 else ac_tabs)[tid] = tab
                 i += 17 + nvals
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for si in range(ns):
@@ -435,37 +509,67 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if scan_start is None or h is None:
         raise ValueError("missing SOS/SOF0")
 
+    hmax = max(fh for fh, _ in comp_hv.values())
+    vmax = max(fv for _, fv in comp_hv.values())
+    for cid, (fh, fv) in comp_hv.items():
+        if fh < 1 or fv < 1 or hmax % fh or vmax % fv:
+            raise ValueError(f"unsupported sampling factors {fh}x{fv}")
+
     r = _BitReader(payload[scan_start:])
-    ph, pw = (h + 7) // 8 * 8, (wid + 7) // 8 * 8
-    planes = np.zeros((ph, pw, 3))
-    preds = {1: 0, 2: 0, 3: 0}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, cid in enumerate((1, 2, 3)):
+    mcux = (wid + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_planes = {
+        cid: np.zeros((mcuy * 8 * fv, mcux * 8 * fh))
+        for cid, (fh, fv) in comp_hv.items()
+    }
+    preds = {cid: 0 for cid in comp_order}
+    mcu_idx = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                r.sync_restart(rst)
+                rst = (rst + 1) & 7
+                preds = {cid: 0 for cid in comp_order}
+            for cid in comp_order:
+                fh, fv = comp_hv[cid]
                 dct, act = comp_tabs[cid]
-                s = _decode_huff(r, dc_tabs[dct])
-                diff = _extend(r.read_bits(s), s)
-                preds[cid] += diff
-                zz = [0] * 64
-                zz[0] = preds[cid]
-                k = 1
-                while k < 64:
-                    rs = _decode_huff(r, ac_tabs[act])
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflow")
-                    zz[k] = _extend(r.read_bits(size), size)
-                    k += 1
-                coef = np.zeros((8, 8))
                 qt = qts[comp_q[cid]]
-                for k2 in range(64):
-                    coef[ZIGZAG[k2]] = zz[k2] * qt[ZIGZAG[k2]]
-                planes[by : by + 8, bx : bx + 8, ci] = _idct(coef)
-    ycc = planes[:h, :wid] + 128.0
+                plane = comp_planes[cid]
+                for vy in range(fv):
+                    for vx in range(fh):
+                        s = _decode_huff(r, dc_tabs[dct])
+                        diff = _extend(r.read_bits(s), s)
+                        preds[cid] += diff
+                        zz = [0] * 64
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(r, ac_tabs[act])
+                            run, size = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            zz[k] = _extend(r.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8))
+                        for k2 in range(64):
+                            coef[ZIGZAG[k2]] = zz[k2] * qt[ZIGZAG[k2]]
+                        by = (my * fv + vy) * 8
+                        bx = (mx * fh + vx) * 8
+                        plane[by : by + 8, bx : bx + 8] = _idct(coef)
+            mcu_idx += 1
+    full = np.zeros((mcuy * 8 * vmax, mcux * 8 * hmax, 3))
+    for ci, cid in enumerate(comp_order):
+        fh, fv = comp_hv[cid]
+        plane = comp_planes[cid]
+        if fv != vmax or fh != hmax:  # upsample by replication
+            plane = np.repeat(np.repeat(plane, vmax // fv, axis=0), hmax // fh, axis=1)
+        full[:, :, ci] = plane
+    ycc = full[:h, :wid] + 128.0
     return _ycbcr_to_rgb(ycc)

@@ -65,6 +65,14 @@ def _synth_raw(i: int, seed: int = SEED) -> dict:
 JPEG_QUALITY = 90
 
 
+def _jpeg_opts(i: int) -> dict:
+    """Odd media ids carry the 4:2:0 + restart-interval wire variant so
+    the Spark decode path exercises subsampling and RST resync; even
+    ids stay 4:4:4 single-segment.  Used by BOTH the corpus builder and
+    the expected-row recomputation (same bytes on both sides)."""
+    return {"subsampling": "420", "restart_interval": 2} if i % 2 else {}
+
+
 def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
     """Deterministic media corpus: cycles image/audio/video; images
     cycle PNG / PNG / JPEG / PPM so all three decoders are exercised
@@ -80,7 +88,7 @@ def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
             elif slot == 2:
                 from doc_ocr_spark.core.jpeg import encode_jpeg
 
-                payload, fmt = encode_jpeg(raw["px"], JPEG_QUALITY), "jpeg"
+                payload, fmt = encode_jpeg(raw["px"], JPEG_QUALITY, **_jpeg_opts(i)), "jpeg"
             else:
                 payload, fmt = M.encode_png(raw["px"]), "png"
         elif kind == "audio":
@@ -177,7 +185,7 @@ def _expected_image_rows() -> list[dict]:
         if (i // 3) % 4 == 2:  # JPEG slot, matching synth_media_rows
             from doc_ocr_spark.core.jpeg import decode_jpeg, encode_jpeg
 
-            px = decode_jpeg(encode_jpeg(px, JPEG_QUALITY))
+            px = decode_jpeg(encode_jpeg(px, JPEG_QUALITY, **_jpeg_opts(i)))
         h, w = px.shape[0], px.shape[1]
         n = h * w
         sums = [0, 0, 0]

@@ -192,3 +192,58 @@ def test_media_dispatch_and_corpus_include_jpeg():
     assert np.array_equal(M.decode_image(J.encode_jpeg(px, 90)), px)
     fmts = {r["fmt"] for r in mm.synth_media_rows(48) if r["kind"] == "image"}
     assert fmts == {"png", "jpeg", "ppm"}
+
+
+def _smooth(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([(x * 5 % 256), (y * 3 % 256), ((x + y) * 2 % 256)], axis=2)
+    return (px // 4 + 100).astype(np.uint8)
+
+
+def test_subsampled_roundtrip_bounded():
+    """4:2:0 / 4:2:2 on smooth content: box-mean downsample +
+    replication upsample keeps the reconstruction within a couple of
+    levels; dims that aren't MCU multiples exercise the padding."""
+    px = _smooth(37, 29)
+    for sub in ("422", "420"):
+        dec = J.decode_jpeg(J.encode_jpeg(px, 95, subsampling=sub))
+        assert dec.shape == px.shape
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_sof_declares_sampling_factors():
+    enc = J.encode_jpeg(_smooth(16, 16), 90, subsampling="420")
+    sof = enc.find(b"\xff\xc0")
+    # first component (Y): id=1, hv byte 0x22 for 2x2
+    assert enc[sof + 11] == 0x22
+    assert enc[sof + 14] == 0x11  # Cb 1x1
+
+
+def test_restart_markers_roundtrip_and_wire():
+    px = _smooth(48, 40)
+    enc = J.encode_jpeg(px, 95, restart_interval=3)
+    assert b"\xff\xdd" in enc  # DRI segment
+    assert b"\xff\xd0" in enc  # at least RST0 (30 MCUs / 3 > 8 wraps)
+    assert b"\xff\xd7" in enc  # sequence wraps 0..7
+    dec = J.decode_jpeg(enc)
+    # restart resets predictors — result must equal the no-restart decode
+    assert np.array_equal(dec, J.decode_jpeg(J.encode_jpeg(px, 95)))
+
+
+def test_restart_out_of_sequence_raises():
+    enc = J.encode_jpeg(_smooth(32, 32), 90, restart_interval=2)
+    i = enc.find(b"\xff\xd0")
+    bad = enc[: i + 1] + bytes([0xD5]) + enc[i + 2 :]
+    with pytest.raises(ValueError, match="out of sequence"):
+        J.decode_jpeg(bad)
+
+
+def test_default_path_unchanged_by_generalization():
+    """The generalized MCU encoder at defaults must keep emitting the
+    exact historical 4:4:4 single-block-MCU stream (corpus oracles
+    depend on encode determinism)."""
+    px = _smooth(17, 23)
+    enc = J.encode_jpeg(px, 85)
+    sof = enc.find(b"\xff\xc0")
+    assert enc[sof + 11] == 0x11 and b"\xff\xdd" not in enc
+    assert np.array_equal(J.decode_jpeg(enc), J.decode_jpeg(J.encode_jpeg(px, 85)))
