@@ -64,6 +64,11 @@ EXTRA = [
     "image_decode_features",
     "audio_decode_features",
     "video_frame_sample",
+    "stratified_sample",
+    "corpus_splits",
+    "repetition_stats",
+    "contamination_flags",
+    "domain_quota",
 ]
 
 # synthetic extraction corpus size per SF (docs)
