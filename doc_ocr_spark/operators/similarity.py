@@ -350,20 +350,26 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(dj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     withb = emb.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
-    left = withb.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-        "bucket",
-    )
-    right = withb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-        F.col("bucket").alias("bucket2"),
-    )
-    pairs = left.join(
-        right, (F.col("bucket") == F.col("bucket2")) & (F.col("qid") < F.col("cid"))
+    # identical-subtree self-join (finding 15).  At bench SF the planner
+    # broadcasts one side (no shuffle pair to dedupe), but at corpus
+    # scale this becomes a sort-merge self-join on bucket and the
+    # canonical-equal sides then share ONE exchange via ReusedExchange
+    # — the same mechanism ann_nn_within_bucket's regression test pins.
+    pairs = (
+        withb.alias("q")
+        .join(
+            withb.alias("c"),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            F.col("q.embedding").alias("qe"),
+            F.col("c.embedding").alias("ce"),
+            F.col("q.nrm").alias("qn"),
+            F.col("c.nrm").alias("cn"),
+        )
     )
     sims = _pair_sims_exploded(pairs, [])
     return sims.filter(F.col("sim") >= DEDUP_TAU).select(
