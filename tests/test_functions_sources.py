@@ -84,3 +84,21 @@ def test_streaming_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 40
+
+
+def test_bucket_sql_matches_md5_definition():
+    """The portable sampling bucket (first 7 md5 nibbles base-16, mod m)
+    must equal the plain-Python definition when evaluated by DuckDB —
+    the same SQL text runs verbatim on the Spark side, so this pins the
+    cross-engine contract to an independent implementation."""
+    import hashlib
+
+    import duckdb
+
+    from doc_ocr_spark.operators.sampling import bucket_sql
+
+    expr = bucket_sql("CAST(x AS STRING)", "salt:")
+    for x in [0, 1, 7, 999, 123456789, 10**12]:
+        expected = int(hashlib.md5(f"salt:{x}".encode()).hexdigest()[:7], 16) % 1000
+        got = duckdb.sql(f"SELECT {expr} FROM (SELECT {x} AS x)").fetchone()[0]
+        assert got == expected, (x, got, expected)
