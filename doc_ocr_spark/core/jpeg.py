@@ -298,6 +298,8 @@ def encode_jpeg(
     """
     h, wid, c = px.shape
     assert c == 3
+    if subsampling not in _SAMPLINGS:
+        raise ValueError(f"unsupported subsampling {subsampling!r} (444/422/420)")
     factors = _SAMPLINGS[subsampling]
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -497,6 +499,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (dc_tabs if tclass == 0 else ac_tabs)[tid] = tab
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]

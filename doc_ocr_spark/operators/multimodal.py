@@ -66,11 +66,15 @@ JPEG_QUALITY = 90
 
 
 def _jpeg_opts(i: int) -> dict:
-    """Odd media ids carry the 4:2:0 + restart-interval wire variant so
-    the Spark decode path exercises subsampling and RST resync; even
-    ids stay 4:4:4 single-segment.  Used by BOTH the corpus builder and
-    the expected-row recomputation (same bytes on both sides)."""
-    return {"subsampling": "420", "restart_interval": 2} if i % 2 else {}
+    """Every second JPEG item carries the 4:2:0 + restart-interval wire
+    variant so the Spark decode path exercises subsampling and RST
+    resync; the others stay 4:4:4 single-segment.  JPEG slots fall on
+    media ids i = 12k + 6 (always even — the image cycle is i%3==0 and
+    the JPEG slot (i//3)%4==2), so the alternation keys on the JPEG
+    ordinal k = i//12, not on i's parity.  Used by BOTH the corpus
+    builder and the expected-row recomputation (same bytes on both
+    sides)."""
+    return {"subsampling": "420", "restart_interval": 2} if (i // 12) % 2 else {}
 
 
 def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:

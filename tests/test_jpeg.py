@@ -247,3 +247,23 @@ def test_default_path_unchanged_by_generalization():
     sof = enc.find(b"\xff\xc0")
     assert enc[sof + 11] == 0x11 and b"\xff\xdd" not in enc
     assert np.array_equal(J.decode_jpeg(enc), J.decode_jpeg(J.encode_jpeg(px, 85)))
+
+
+def test_invalid_subsampling_and_truncated_dri_raise_valueerror():
+    px = _smooth(8, 8)
+    with pytest.raises(ValueError, match="subsampling"):
+        J.encode_jpeg(px, 90, subsampling="411")
+    enc = J.encode_jpeg(px, 90, restart_interval=4)
+    i = enc.find(b"\xff\xdd")
+    # shrink the DRI segment to an empty body (declared len 2)
+    bad = enc[:i + 2] + b"\x00\x02" + enc[i + 6:]
+    with pytest.raises(ValueError, match="truncated DRI"):
+        J.decode_jpeg(bad)
+
+
+def test_media_corpus_carries_both_jpeg_wire_variants():
+    from doc_ocr_spark.operators import multimodal as mm
+
+    jp = [r["payload"] for r in mm.synth_media_rows(120) if r["fmt"] == "jpeg"]
+    with_dri = [p for p in jp if b"\xff\xdd" in p]
+    assert with_dri and len(with_dri) < len(jp)
