@@ -69,6 +69,7 @@ EXTRA = [
     "repetition_stats",
     "contamination_flags",
     "domain_quota",
+    "corpus_curation",
 ]
 
 # synthetic extraction corpus size per SF (docs)

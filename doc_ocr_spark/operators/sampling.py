@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from doc_ocr_spark.operators import load
 from doc_ocr_spark.operators.dedup import _SHINGLES_CTE, _shingles
+from doc_ocr_spark.operators.textstats import LANG_SQL as LANG_SQL_REF
 
 _HEX = "0123456789abcdef"
 
@@ -279,12 +280,120 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
 ) WHERE rk <= {DOMAIN_QUOTA}
 """
 
+# ---------------------------------------------------------------------------
+# Composite curation pipeline
+
+# Drop thresholds (chosen so each rule is live on the synthetic corpus)
+CONTAM_MIN = 8  # shared shingles with the benchmark set
+REP_MAX = 0.2  # max top-bigram coverage
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation pass: every document gets a keep/drop
+    decision with the FIRST failing rule as its reason, composing the
+    individual operators into one plan:
+
+      benchmark   doc is part of the held-out eval set (never train on it)
+      duplicate   exact-dup loser (a lower doc_id has identical text)
+      contaminated >= CONTAM_MIN shingles shared with the benchmark set
+      lang_unknown language ID could not classify
+      repetitive  top bigram covers > REP_MAX of the words
+      over_quota  beyond the per-source cap
+      sampled_out hash-sampled away by the per-lang rate
+      kept        survives everything
+
+    Composition is by doc_id joins of the constituent operators'
+    outputs, so each signal keeps its own scale shape (broadcast
+    contamination, partial-limit quota, map-only sampling) and Catalyst
+    stitches them into a single DAG.
+    """
+    from doc_ocr_spark.operators.textstats import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    keepers = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.expr(_DOC_BUCKET).cast("long").alias("bucket"),
+            F.expr(_RATE_CASE).cast("long").alias("rate"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.expr(_QUOTA_BUCKET).asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .join(keepers, "h")
+    )
+    contam = contamination_flags(spark, sf_dir)
+    rep = repetition_stats(spark, sf_dir).select("doc_id", "rep2_ratio")
+    lp = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    joined = (
+        base.join(contam, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(lp, "doc_id")
+    )
+    reason = (
+        F.when(F.col("doc_id") < BENCH_DOCS, "benchmark")
+        .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(F.coalesce("n_shared", F.lit(0)) >= CONTAM_MIN, "contaminated")
+        .when(F.col("lang_pred") == "und", "lang_unknown")
+        .when(F.col("rep2_ratio") > REP_MAX, "repetitive")
+        .when(F.col("rk") > DOMAIN_QUOTA, "over_quota")
+        .when(F.col("bucket") >= F.col("rate"), "sampled_out")
+        .otherwise("kept")
+    )
+    return joined.select(
+        "doc_id",
+        reason.alias("reason"),
+    ).select("doc_id", (F.col("reason") == "kept").alias("keep"), "reason")
+
+
+CURATION_SQL = f"""
+WITH rep AS MATERIALIZED ({REPETITION_SQL}),
+contam AS MATERIALIZED ({CONTAMINATION_SQL}),
+langp AS ({LANG_SQL_REF}),
+keepers AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1),
+curation_base AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST({_DOC_BUCKET} AS BIGINT) AS bucket,
+         CAST({_RATE_CASE} AS BIGINT) AS rate,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_QUOTA_BUCKET}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, reason = 'kept' AS keep, reason FROM (
+  SELECT b.doc_id,
+    CASE WHEN b.doc_id < {BENCH_DOCS} THEN 'benchmark'
+         WHEN b.doc_id <> k.keep_id THEN 'duplicate'
+         WHEN coalesce(c.n_shared, 0) >= {CONTAM_MIN} THEN 'contaminated'
+         WHEN l.lang_pred = 'und' THEN 'lang_unknown'
+         WHEN r.rep2_ratio > {REP_MAX} THEN 'repetitive'
+         WHEN b.rk > {DOMAIN_QUOTA} THEN 'over_quota'
+         WHEN b.bucket >= b.rate THEN 'sampled_out'
+         ELSE 'kept' END AS reason
+  FROM curation_base b
+  JOIN keepers k USING (h)
+  LEFT JOIN contam c ON b.doc_id = c.doc_id
+  JOIN rep r ON b.doc_id = r.doc_id
+  JOIN langp l ON b.doc_id = l.doc_id
+)
+"""
+
 ORACLES = {
     "stratified_sample": STRATIFIED_SQL,
     "corpus_splits": SPLITS_SQL,
     "repetition_stats": REPETITION_SQL,
     "contamination_flags": CONTAMINATION_SQL,
     "domain_quota": QUOTA_SQL,
+    "corpus_curation": CURATION_SQL,
 }
 
 QUERIES = {
@@ -293,4 +402,5 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "contamination_flags": contamination_flags,
     "domain_quota": domain_quota,
+    "corpus_curation": corpus_curation,
 }
