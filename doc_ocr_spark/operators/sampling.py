@@ -305,9 +305,15 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition is by doc_id joins of the constituent operators'
     outputs, so each signal keeps its own scale shape (broadcast
     contamination, partial-limit quota, map-only sampling) and Catalyst
-    stitches them into a single DAG.
+    stitches them into a single DAG.  Map-only signals (lang ID,
+    sample bucket/rate, text hash) fold into the base scan; only the
+    aggregating signals (dedup keepers, contamination, repetition) add
+    their own corpus passes.  At 100 TB the per-doc signal columns
+    would be materialized once as a signals table and the decision pass
+    would join against that — this query IS that DAG, minus the
+    intermediate write.
     """
-    from doc_ocr_spark.operators.textstats import lang_id
+    from doc_ocr_spark.operators.textstats import lang_pred_col
 
     docs = load(spark, sf_dir, "documents")
     keepers = docs.groupBy(F.md5("text").alias("h")).agg(
@@ -320,6 +326,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("h"),
             F.expr(_DOC_BUCKET).cast("long").alias("bucket"),
             F.expr(_RATE_CASE).cast("long").alias("rate"),
+            lang_pred_col().alias("lang_pred"),
         )
         .withColumn(
             "rk",
@@ -333,12 +340,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contam = contamination_flags(spark, sf_dir)
     rep = repetition_stats(spark, sf_dir).select("doc_id", "rep2_ratio")
-    lp = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
-    joined = (
-        base.join(contam, "doc_id", "left")
-        .join(rep, "doc_id")
-        .join(lp, "doc_id")
-    )
+    joined = base.join(contam, "doc_id", "left").join(rep, "doc_id")
     reason = (
         F.when(F.col("doc_id") < BENCH_DOCS, "benchmark")
         .when(F.col("doc_id") != F.col("keep_id"), "duplicate")

@@ -18,10 +18,10 @@ _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-class + stopword heuristic language ID."""
-    docs = load(spark, sf_dir, "documents")
-    pred = (
+def lang_pred_col():
+    """The language-ID prediction as a reusable Column (shared with the
+    curation composite so the signal folds into an existing scan)."""
+    return (
         F.when(F.col("text").rlike("[一-鿿]"), "zh")
         .when(F.col("text").rlike("[Ѐ-ӿ]"), "ru")
         .when(F.col("text").rlike("[؀-ۿ]"), "ar")
@@ -36,7 +36,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("und")
     )
-    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class + stopword heuristic language ID."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_pred_col().alias("lang_pred"))
 
 
 LANG_SQL = f"""
