@@ -208,3 +208,15 @@ def test_contamination_joins_broadcast(spark):
 
     plan = explain_str(contamination_flags(spark, "/root/testdata/sf0.001"), "simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_curation_composite_plan_shape(spark):
+    """corpus_curation folds all map-only signals into the base scan:
+    exactly one aggregating pass each for keepers/contamination/
+    repetition remains (6 parquet scans total), every join broadcasts
+    at this SF, and no Python UDF appears anywhere in the DAG."""
+    from doc_ocr_spark.operators.sampling import corpus_curation
+
+    plan = explain_str(corpus_curation(spark, "/root/testdata/sf0.001"), "simple")
+    assert plan.count("FileScan parquet") <= 6, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
