@@ -70,6 +70,7 @@ EXTRA = [
     "contamination_flags",
     "domain_quota",
     "corpus_curation",
+    "asof_click_attribution",
 ]
 
 # synthetic extraction corpus size per SF (docs)

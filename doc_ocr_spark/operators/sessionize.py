@@ -171,14 +171,76 @@ WITH e AS (
 SELECT click_id, purchase_id, gap_s FROM j WHERE rn = 1
 """
 
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join in its scalable union-sort form: attribute every
+    purchase to the same user's latest click at-or-before it.
+
+    Instead of a (purchase x click) range join — whose candidate count
+    explodes with per-user activity — both streams are UNIONed and the
+    attribution is a running `last(click_id, ignorenulls)` over one
+    (user_id)-partitioned sort: exactly ONE shuffle, no pair blowup,
+    state O(1) per user.  Clicks sort before purchases at equal ts
+    (inclusive as-of bound).  Oracle: DuckDB's native ASOF JOIN.
+    Timestamps are compared and returned at microsecond precision
+    (unique per (user, ts) in the corpus, asserted by the tie-free
+    sort keys).
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+            F.when(
+                F.col("event_type") == "click", F.col("event_id")
+            ).alias("c_id"),
+            F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("click_id", F.last("c_id", ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_p") == 1) & F.col("click_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "click_id",
+            F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+        )
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+FROM purch p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "running_blocks": BLOCKS_SQL,
     "next_purchase_after_click": RANGE_JOIN_SQL,
+    "asof_click_attribution": ASOF_SQL,
 }
 
 QUERIES = {
     "sessionize_events": sessionize_events,
     "running_blocks": running_blocks,
     "next_purchase_after_click": next_purchase_after_click,
+    "asof_click_attribution": asof_click_attribution,
 }

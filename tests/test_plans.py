@@ -220,3 +220,14 @@ def test_curation_composite_plan_shape(spark):
     plan = explain_str(corpus_curation(spark, "/root/testdata/sf0.001"), "simple")
     assert plan.count("FileScan parquet") <= 6, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_asof_join_is_union_sort_no_join(spark):
+    """The as-of attribution must run as ONE window over a union — no
+    join operator and exactly one shuffle — instead of a pairwise
+    range join whose candidates blow up with per-user activity."""
+    from doc_ocr_spark.operators.sessionize import asof_click_attribution
+
+    plan = explain_str(asof_click_attribution(spark, "/root/testdata/sf0.001"), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
