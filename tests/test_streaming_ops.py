@@ -275,3 +275,57 @@ def test_streaming_native_session_window(spark, events_dir):
     }
     assert want  # the cut must not be vacuous
     assert got == want
+
+
+def test_asof_attribution_matches_bruteforce_on_adversarial_stream(spark, tmp_path):
+    """Union-sort as-of vs a brute-force reference on a corpus with the
+    edge cases the provided testdata never hits: a click and a purchase
+    at the SAME microsecond (inclusive bound -> attributed), a purchase
+    before any click (dropped), users with no clicks at all, and
+    interleaved multi-click runs."""
+    import datetime as dt
+
+    from doc_ocr_spark.operators.sessionize import asof_click_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(eid, uid, us, et):
+        return (eid, t0 + dt.timedelta(microseconds=us), uid, et, 1.0, "{}")
+
+    rows = [
+        row(0, 1, 100, "purchase"),      # before any click -> dropped
+        row(1, 1, 200, "click"),
+        row(2, 1, 300, "purchase"),      # -> click 1
+        row(3, 1, 300_000, "click"),
+        row(4, 1, 300_000, "purchase"),  # same ts as click 3 -> inclusive
+        row(5, 1, 400_000, "purchase"),  # -> click 3 (latest)
+        row(6, 2, 100, "purchase"),      # user without clicks -> dropped
+        row(7, 3, 50, "click"),
+        row(8, 3, 60, "click"),
+        row(9, 3, 70, "purchase"),       # -> click 8, not 7
+        row(10, 3, 80, "view"),          # non-participating type
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.event_id, r.click_id)
+        for r in asof_click_attribution(spark, str(tmp_path)).collect()
+    }
+    # brute-force reference
+    want = set()
+    for eid, ts, uid, et, _, _ in rows:
+        if et != "purchase":
+            continue
+        cands = [
+            (cts, ceid)
+            for ceid, cts, cuid, cet, _, _ in rows
+            if cet == "click" and cuid == uid and cts <= ts
+        ]
+        if cands:
+            want.add((eid, max(cands)[1]))
+    assert got == want
+    assert (0, None) not in got and len(got) == 4
