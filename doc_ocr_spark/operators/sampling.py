@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from doc_ocr_spark.operators import load
 from doc_ocr_spark.operators.dedup import _SHINGLES_CTE, _shingles
 from doc_ocr_spark.operators.textstats import LANG_SQL as LANG_SQL_REF
+from doc_ocr_spark.operators.textstats import lang_pred_col
 
 _HEX = "0123456789abcdef"
 
@@ -304,57 +305,55 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition is by doc_id joins of the constituent operators'
     outputs, so each signal keeps its own scale shape (broadcast
-    contamination, partial-limit quota, map-only sampling) and Catalyst
-    stitches them into a single DAG.  Map-only signals (lang ID,
-    sample bucket/rate, text hash) fold into the base scan; only the
-    aggregating signals (dedup keepers, contamination, repetition) add
-    their own corpus passes.  At 100 TB the per-doc signal columns
-    would be materialized once as a signals table and the decision pass
-    would join against that — this query IS that DAG, minus the
-    intermediate write.
+    contamination, partial-limit quota — the quota signal JOINS the
+    domain_quota operator's output, whose adjacent rk filter is what
+    lets Spark plan the WindowGroupLimit partial pass; an inline
+    row_number with the comparison buried in a CASE would shuffle a hot
+    domain's full volume) and Catalyst stitches them into a single DAG.
+    Map-only signals (lang ID, sample bucket/rate, text hash) fold into
+    the base scan; only the aggregating signals (dedup keepers,
+    contamination, repetition, quota) add their own corpus passes.  At
+    100 TB the per-doc signal columns would be materialized once as a
+    signals table and the decision pass would join against that — this
+    query IS that DAG, minus the intermediate write.
     """
-    from doc_ocr_spark.operators.textstats import lang_pred_col
-
     docs = load(spark, sf_dir, "documents")
     keepers = docs.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("keep_id")
     )
-    base = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.md5("text").alias("h"),
-            F.expr(_DOC_BUCKET).cast("long").alias("bucket"),
-            F.expr(_RATE_CASE).cast("long").alias("rate"),
-            lang_pred_col().alias("lang_pred"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.expr(_QUOTA_BUCKET).asc(), F.col("doc_id").asc()
-                )
-            ),
-        )
-        .join(keepers, "h")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.expr(_DOC_BUCKET).cast("long").alias("bucket"),
+        F.expr(_RATE_CASE).cast("long").alias("rate"),
+        lang_pred_col().alias("lang_pred"),
+    ).join(keepers, "h")
+    within_quota = domain_quota(spark, sf_dir).select("doc_id").withColumn(
+        "in_quota", F.lit(True)
     )
     contam = contamination_flags(spark, sf_dir)
     rep = repetition_stats(spark, sf_dir).select("doc_id", "rep2_ratio")
-    joined = base.join(contam, "doc_id", "left").join(rep, "doc_id")
+    joined = (
+        base.join(contam, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(within_quota, "doc_id", "left")
+    )
     reason = (
         F.when(F.col("doc_id") < BENCH_DOCS, "benchmark")
         .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
         .when(F.coalesce("n_shared", F.lit(0)) >= CONTAM_MIN, "contaminated")
         .when(F.col("lang_pred") == "und", "lang_unknown")
         .when(F.col("rep2_ratio") > REP_MAX, "repetitive")
-        .when(F.col("rk") > DOMAIN_QUOTA, "over_quota")
+        .when(F.col("in_quota").isNull(), "over_quota")
         .when(F.col("bucket") >= F.col("rate"), "sampled_out")
         .otherwise("kept")
     )
     return joined.select(
         "doc_id",
+        (reason == F.lit("kept")).alias("keep"),
         reason.alias("reason"),
-    ).select("doc_id", (F.col("reason") == "kept").alias("keep"), "reason")
+    )
 
 
 CURATION_SQL = f"""

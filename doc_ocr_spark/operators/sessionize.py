@@ -180,10 +180,13 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution is a running `last(click_id, ignorenulls)` over one
     (user_id)-partitioned sort: exactly ONE shuffle, no pair blowup,
     state O(1) per user.  Clicks sort before purchases at equal ts
-    (inclusive as-of bound).  Oracle: DuckDB's native ASOF JOIN.
-    Timestamps are compared and returned at microsecond precision
-    (unique per (user, ts) in the corpus, asserted by the tie-free
-    sort keys).
+    (inclusive as-of bound); two clicks of one user at the same
+    microsecond resolve to the HIGHER event_id (the running last() in
+    (ts, event_id) order).  Oracle: DuckDB's native ASOF JOIN over a
+    clicks stream pre-deduped to max(event_id) per (user, ts), which
+    pins the same tie rule — native ASOF alone leaves ties
+    unspecified.  Timestamps are compared and returned at microsecond
+    precision.
     """
     ev = (
         load(spark, sf_dir, "events")
@@ -220,7 +223,10 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ASOF_SQL = """
 WITH clicks AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+  -- dedupe to max(event_id) per (user, ts): ASOF JOIN has no tie-break,
+  -- and the Spark union-sort resolves equal-ts clicks to the higher id
+  SELECT max(event_id) AS event_id, user_id, ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
 ),
 purch AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -212,13 +212,18 @@ def test_contamination_joins_broadcast(spark):
 
 def test_curation_composite_plan_shape(spark):
     """corpus_curation folds all map-only signals into the base scan:
-    exactly one aggregating pass each for keepers/contamination/
-    repetition remains (6 parquet scans total), every join broadcasts
-    at this SF, and no Python UDF appears anywhere in the DAG."""
+    one aggregating pass each for keepers/contamination/repetition/
+    quota remains (7 parquet scans total), the quota signal keeps its
+    WindowGroupLimit partial pass (joined from domain_quota — an inline
+    row_number would lose it and shuffle hot domains' full volume),
+    every join broadcasts at this SF, and no Python UDF appears
+    anywhere in the DAG."""
     from doc_ocr_spark.operators.sampling import corpus_curation
 
     plan = explain_str(corpus_curation(spark, "/root/testdata/sf0.001"), "simple")
-    assert plan.count("FileScan parquet") <= 6, plan
+    assert plan.count("FileScan parquet") <= 7, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 

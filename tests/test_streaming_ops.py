@@ -304,6 +304,9 @@ def test_asof_attribution_matches_bruteforce_on_adversarial_stream(spark, tmp_pa
         row(8, 3, 60, "click"),
         row(9, 3, 70, "purchase"),       # -> click 8, not 7
         row(10, 3, 80, "view"),          # non-participating type
+        row(11, 4, 10, "click"),
+        row(12, 4, 10, "click"),         # tied clicks -> higher id wins
+        row(13, 4, 20, "purchase"),      # -> click 12
     ]
     df = spark.createDataFrame(
         rows,
@@ -328,4 +331,5 @@ def test_asof_attribution_matches_bruteforce_on_adversarial_stream(spark, tmp_pa
         if cands:
             want.add((eid, max(cands)[1]))
     assert got == want
-    assert (0, None) not in got and len(got) == 4
+    assert (13, 12) in got
+    assert (0, None) not in got and len(got) == 5
