@@ -95,6 +95,28 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of the pivot above, run over its
+    result: wide status columns back to (priority, status, n) rows via
+    Spark's native unpivot (map-side expand, no shuffle added)."""
+    piv = orders_status_pivot(spark, sf_dir)
+    return piv.unpivot(
+        ["o_orderpriority"], ["n_f", "n_o", "n_p"], "status_col", "n"
+    ).select(
+        "o_orderpriority",
+        F.upper(F.substring("status_col", 3, 1)).alias("o_orderstatus"),
+        "n",
+    )
+
+
+UNPIVOT_SQL = f"""
+SELECT o_orderpriority,
+       upper(substr(status_col, 3, 1)) AS o_orderstatus,
+       CAST(n AS BIGINT) AS n
+FROM ({PIVOT_SQL}) UNPIVOT INCLUDE NULLS (n FOR status_col IN (n_f, n_o, n_p))
+"""
+
+
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) per group (expand + two-phase hash agg; the
     exact companion of approx_count_distinct, which at 100 TB replaces
@@ -189,6 +211,7 @@ ORACLES = {
     "moving_avg_order_price": MOVING_AVG_SQL,
     "order_quantiles_by_priority": QUANTILES_SQL,
     "orders_status_pivot": PIVOT_SQL,
+    "orders_status_unpivot": UNPIVOT_SQL,
     "distinct_parts_per_supplier": DISTINCT_SQL,
     "active_customers_semi": SEMI_SQL,
     "events_hourly_windows": HOURLY_SQL,
@@ -199,6 +222,7 @@ QUERIES = {
     "moving_avg_order_price": moving_avg_order_price,
     "order_quantiles_by_priority": order_quantiles_by_priority,
     "orders_status_pivot": orders_status_pivot,
+    "orders_status_unpivot": orders_status_unpivot,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "active_customers_semi": active_customers_semi,
     "events_hourly_windows": events_hourly_windows,
