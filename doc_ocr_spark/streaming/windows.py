@@ -211,3 +211,84 @@ def streaming_sessionize(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+_ASOF_OUT_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, ts_us BIGINT, "
+    "click_id BIGINT, click_ts_us BIGINT"
+)
+_ASOF_STATE_SCHEMA = "click_id BIGINT, click_us BIGINT"
+
+
+def _asof_group(key, pdf_iter, state: GroupState):
+    """Stream twin of operators/sessionize.asof_click_attribution:
+    state per user = the latest click (max (ts, event_id)); each
+    purchase is attributed the moment it arrives.  Batch rows sort by
+    (ts, is_purchase, event_id) over the chunk concatenation — same
+    tie rule as the batch window (equal-ts click attributes, higher
+    event_id wins among tied clicks).
+
+    Cross-batch caveat (documented, same class as the sessionizer): a
+    click arriving in a LATER trigger than a purchase it should have
+    won cannot retract the already-emitted attribution — the stream is
+    correct for (ts-ordered) arrival, which the file source's
+    modification-time ordering provides in these pipelines."""
+    (user_id,) = key
+    if state.exists:
+        click_id, click_us = state.get
+    else:
+        click_id, click_us = None, None
+
+    out = []
+    chunks = [p for p in pdf_iter if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf["is_p"] = (pdf["event_type"] == "purchase").astype(int)
+        pdf = pdf.sort_values(["ts", "is_p", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+        for eid, us, is_p in zip(
+            pdf["event_id"].tolist(), ts_us, pdf["is_p"].tolist()
+        ):
+            if not is_p:
+                if click_us is None or (us, eid) > (click_us, click_id):
+                    click_id, click_us = eid, us
+            elif click_id is not None:
+                out.append((eid, user_id, us, click_id, click_us))
+    if click_id is not None:
+        state.update((click_id, click_us))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["event_id", "user_id", "ts_us", "click_id", "click_ts_us"],
+        )
+
+
+def streaming_asof_attribution(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "stream_asof",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming purchase->latest-click attribution via
+    applyInPandasWithState; O(1) state per user (one click)."""
+    ev = _read_events_stream(spark, input_dir, max_files_per_trigger)
+    attributed = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_group,
+            outputStructType=_ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        attributed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

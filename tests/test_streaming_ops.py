@@ -333,3 +333,52 @@ def test_asof_attribution_matches_bruteforce_on_adversarial_stream(spark, tmp_pa
     assert got == want
     assert (13, 12) in got
     assert (0, None) not in got and len(got) == 5
+
+
+def test_streaming_asof_matches_batch(spark, events_dir):
+    from doc_ocr_spark.operators.sessionize import asof_click_attribution
+    from doc_ocr_spark.streaming.windows import streaming_asof_attribution
+
+    got = streaming_asof_attribution(spark, events_dir, query_name="asof_parity")
+    want = asof_click_attribution(spark, SF_DIR)
+    cols = ["event_id", "user_id", "ts_us", "click_id", "click_ts_us"]
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_streaming_asof_state_carries_click_across_triggers(spark, tmp_path):
+    """A click in trigger 1 must attribute a purchase arriving in
+    trigger 2 out of the state store (one click per user)."""
+    import time as _t
+
+    from doc_ocr_spark.streaming.windows import streaming_asof_attribution
+
+    d = tmp_path / "asof_in"
+    d.mkdir()
+    schema = (
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def write_file(name, rows, age_s):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.parquet(str(d / name))
+        for f in os.listdir(d / name):
+            if f.endswith(".parquet"):
+                shutil.move(str(d / name / f), str(d / f"{name}.parquet"))
+        now = _t.time()
+        os.utime(str(d / f"{name}.parquet"), (now - age_s, now - age_s))
+
+    write_file("f1", [(1, "2024-01-01 00:00:01", 7, "click", 1.0, "{}")], 300)
+    write_file(
+        "f2",
+        [(2, "2024-01-01 00:10:00", 7, "purchase", 1.0, "{}"),
+         (3, "2024-01-01 00:11:00", 8, "purchase", 1.0, "{}")],  # no click
+        100,
+    )
+    got = streaming_asof_attribution(
+        spark, str(d), query_name="asof_carry", max_files_per_trigger=1
+    )
+    rows = {(r.event_id, r.click_id) for r in got.collect()}
+    assert rows == {(2, 1)}
