@@ -71,6 +71,8 @@ EXTRA = [
     "domain_quota",
     "corpus_curation",
     "asof_click_attribution",
+    "orders_status_unpivot",
+    "streaming_asof_agg",
 ]
 
 # synthetic extraction corpus size per SF (docs)

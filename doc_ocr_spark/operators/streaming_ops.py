@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from doc_ocr_spark.operators.relational3 import HOURLY_SQL
+from doc_ocr_spark.operators.sessionize import ASOF_SQL as _ASOF_SQL
 
 _COUNTER = itertools.count()
 
@@ -52,5 +53,20 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES = {"streaming_hourly_agg": HOURLY_SQL}
-QUERIES = {"streaming_hourly_agg": streaming_hourly_agg}
+def streaming_asof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated stream run of the as-of attribution: with all data
+    available at start (one trigger), the finished stream must equal
+    the batch union-sort operator, so the batch oracle applies."""
+    from doc_ocr_spark.streaming.windows import streaming_asof_attribution
+
+    name = f"stream_asof_gate_{next(_COUNTER)}"
+    return streaming_asof_attribution(
+        spark, _as_stream_dir(sf_dir), query_name=name
+    )
+
+
+ORACLES = {"streaming_hourly_agg": HOURLY_SQL, "streaming_asof_agg": _ASOF_SQL}
+QUERIES = {
+    "streaming_hourly_agg": streaming_hourly_agg,
+    "streaming_asof_agg": streaming_asof_agg,
+}
