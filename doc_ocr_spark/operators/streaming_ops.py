@@ -1,11 +1,12 @@
 """Driver-contract entry for the Structured Streaming path.
 
-``streaming_hourly_agg`` runs the REAL stream (file source over the
-events parquet, event-time tumbling windows, watermark, availableNow
-trigger, memory sink) to completion and returns the sink — so the
-driver's DuckDB hash gate checks STREAMING results, not just the batch
-twin.  The oracle is identical to events_hourly_windows: with all data
-available at start, a finished stream must equal the batch aggregation.
+``streaming_hourly_agg`` and ``streaming_asof_agg`` each run a REAL
+stream (file source over the events parquet, availableNow trigger,
+memory sink) to completion and return the sink — so the driver's
+DuckDB hash gate checks STREAMING results, not just the batch twins.
+The oracles are identical to the batch operators' (events_hourly_windows
+/ asof_click_attribution): with all data available at start, a finished
+stream must equal the batch result.
 """
 
 from __future__ import annotations

@@ -1,6 +1,6 @@
 """Structured Streaming event-time operators.
 
-Two streaming re-expressions over the ``events`` schema, each the
+Three streaming re-expressions over the ``events`` schema, each the
 stream twin of a batch operator (tested for parity in
 tests/test_streaming_ops.py):
 
@@ -17,6 +17,9 @@ tests/test_streaming_ops.py):
   a session is emitted the moment the event that OPENS the next one is
   seen, so output contains every closed session and state holds at most
   one open session per user.
+- ``streaming_asof_attribution`` stateful stream twin of
+  operators/sessionize.asof_click_attribution: one click (id, ts) of
+  state per user; each purchase is attributed on arrival.
 
 At 100 TB-scale ingest these run against a file/Kafka stream with the
 same code; the state store shuffles by group key exactly like the batch
@@ -228,11 +231,13 @@ def _asof_group(key, pdf_iter, state: GroupState):
     tie rule as the batch window (equal-ts click attributes, higher
     event_id wins among tied clicks).
 
-    Cross-batch caveat (documented, same class as the sessionizer): a
-    click arriving in a LATER trigger than a purchase it should have
-    won cannot retract the already-emitted attribution — the stream is
-    correct for (ts-ordered) arrival, which the file source's
-    modification-time ordering provides in these pipelines."""
+    Cross-batch caveats (documented, same class as the sessionizer):
+    a click arriving in a LATER trigger than a purchase it should have
+    won cannot retract the already-emitted attribution, and a late
+    purchase whose only retained click lies in its future is DROPPED
+    rather than attributed forward (guard below) — the stream is exact
+    for (ts-ordered) arrival, which the file source's modification-time
+    ordering provides in these pipelines."""
     (user_id,) = key
     if state.exists:
         click_id, click_us = state.get
@@ -252,7 +257,11 @@ def _asof_group(key, pdf_iter, state: GroupState):
             if not is_p:
                 if click_us is None or (us, eid) > (click_us, click_id):
                     click_id, click_us = eid, us
-            elif click_id is not None:
+            elif click_id is not None and click_us <= us:
+                # the guard drops a LATE purchase whose only known click
+                # is in its future (attributing forward would violate
+                # the as-of invariant; the click it should have matched
+                # was never retained)
                 out.append((eid, user_id, us, click_id, click_us))
     if click_id is not None:
         state.update((click_id, click_us))

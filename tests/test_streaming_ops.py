@@ -21,6 +21,26 @@ def _rows_set(df, cols):
     return {tuple(r[c] for c in cols) for r in df.collect()}
 
 
+_EVENTS_STR_SCHEMA = (
+    "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _write_aged_events(spark, d, name, rows, age_s):
+    """One events parquet file in dir ``d``, mtime backdated by age_s so
+    the file-stream source processes files in write order."""
+    df = spark.createDataFrame(rows, _EVENTS_STR_SCHEMA).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.coalesce(1).write.parquet(str(d / name))
+    for f in os.listdir(d / name):
+        if f.endswith(".parquet"):
+            shutil.move(str(d / name / f), str(d / f"{name}.parquet"))
+    now = time.time()
+    os.utime(str(d / f"{name}.parquet"), (now - age_s, now - age_s))
+
+
 @pytest.fixture()
 def events_dir(tmp_path):
     d = tmp_path / "events_in"
@@ -51,33 +71,18 @@ def test_streaming_watermark_drops_late_row(spark, tmp_path):
 
     d = tmp_path / "late_in"
     d.mkdir()
-    schema = (
-        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-
-    def write_file(name: str, rows, age_s: int) -> None:
-        df = spark.createDataFrame(rows, schema).withColumn(
-            "ts", F.to_timestamp("ts")
-        )
-        df.coalesce(1).write.parquet(str(d / name))
-        for f in os.listdir(d / name):
-            if f.endswith(".parquet"):
-                shutil.move(str(d / name / f), str(d / f"{name}.parquet"))
-        now = time.time()
-        os.utime(str(d / f"{name}.parquet"), (now - age_s, now - age_s))
 
     # batch 0: opens window 00:00 and pushes max event time to 06:00
-    write_file(
-        "f1",
+    _write_aged_events(
+        spark, d, "f1",
         [(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
          (2, "2024-01-01 06:00:00", 1, "click", 1.0, "{}")],
         300,
     )
     # batch 1: watermark is now 05:30 -> window 00:00 finalized (n=1)
-    write_file("f2", [(5, "2024-01-01 06:01:00", 1, "click", 1.0, "{}")], 200)
+    _write_aged_events(spark, d, "f2", [(5, "2024-01-01 06:01:00", 1, "click", 1.0, "{}")], 200)
     # batch 2: 00:20 is far behind the watermark -> DROPPED
-    write_file("f3", [(3, "2024-01-01 00:20:00", 1, "click", 1.0, "{}")], 100)
+    _write_aged_events(spark, d, "f3", [(3, "2024-01-01 00:20:00", 1, "click", 1.0, "{}")], 100)
 
     got = streaming_hourly_windows(
         spark,
@@ -348,31 +353,13 @@ def test_streaming_asof_matches_batch(spark, events_dir):
 def test_streaming_asof_state_carries_click_across_triggers(spark, tmp_path):
     """A click in trigger 1 must attribute a purchase arriving in
     trigger 2 out of the state store (one click per user)."""
-    import time as _t
-
     from doc_ocr_spark.streaming.windows import streaming_asof_attribution
 
     d = tmp_path / "asof_in"
     d.mkdir()
-    schema = (
-        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-
-    def write_file(name, rows, age_s):
-        df = spark.createDataFrame(rows, schema).withColumn(
-            "ts", F.to_timestamp("ts")
-        )
-        df.coalesce(1).write.parquet(str(d / name))
-        for f in os.listdir(d / name):
-            if f.endswith(".parquet"):
-                shutil.move(str(d / name / f), str(d / f"{name}.parquet"))
-        now = _t.time()
-        os.utime(str(d / f"{name}.parquet"), (now - age_s, now - age_s))
-
-    write_file("f1", [(1, "2024-01-01 00:00:01", 7, "click", 1.0, "{}")], 300)
-    write_file(
-        "f2",
+    _write_aged_events(spark, d, "f1", [(1, "2024-01-01 00:00:01", 7, "click", 1.0, "{}")], 300)
+    _write_aged_events(
+        spark, d, "f2",
         [(2, "2024-01-01 00:10:00", 7, "purchase", 1.0, "{}"),
          (3, "2024-01-01 00:11:00", 8, "purchase", 1.0, "{}")],  # no click
         100,
@@ -382,3 +369,21 @@ def test_streaming_asof_state_carries_click_across_triggers(spark, tmp_path):
     )
     rows = {(r.event_id, r.click_id) for r in got.collect()}
     assert rows == {(2, 1)}
+
+
+def test_streaming_asof_drops_late_purchase_behind_future_click(spark, tmp_path):
+    """A late purchase arriving a trigger AFTER a newer click must be
+    DROPPED, not attributed forward to a click in its future (the
+    as-of invariant click_ts <= purchase_ts is guarded in the group
+    kernel)."""
+    from doc_ocr_spark.streaming.windows import streaming_asof_attribution
+
+    d = tmp_path / "asof_late"
+    d.mkdir()
+    _write_aged_events(spark, d, "f1", [(1, "2024-01-01 00:10:00", 7, "click", 1.0, "{}")], 300)
+    # purchase ts 00:05 < the only retained click's 00:10
+    _write_aged_events(spark, d, "f2", [(2, "2024-01-01 00:05:00", 7, "purchase", 1.0, "{}")], 100)
+    got = streaming_asof_attribution(
+        spark, str(d), query_name="asof_late", max_files_per_trigger=1
+    )
+    assert got.collect() == []
