@@ -126,56 +126,63 @@ GROUP BY 1, 2
 """
 
 
+# In-row top-bigram count: sort the doc's bigram array, then the most
+# frequent bigram's count is the longest run of equal neighbours.  A
+# higher-order `aggregate` is interpreted (outside codegen), but per
+# the repo's measured HOF rule (BENCH finding #9) that cost is paid
+# ONLY where it deletes a shuffle — here it deletes the whole
+# (doc_id, bigram) exchange plus the join back, making the operator
+# map-only.
+_TOP_BIGRAM = """
+aggregate(
+  array_sort(transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))),
+  struct(cast(null as string) as prev, 0L as run, 0L as best),
+  (acc, x) -> struct(
+    x as prev,
+    if(x <=> acc.prev, acc.run + 1, 1L) as run,
+    greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1L)) as best),
+  acc -> acc.best)
+"""
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: fraction of words
     covered by the most frequent word 2-gram, and distinct-word ratio.
 
-    Shape at scale: the 2-gram top count is computed by exploding
-    bigrams and aggregating on (doc_id, bigram) — partial (map-side)
-    aggregation collapses each doc's repeats before the shuffle, so
-    shuffled rows are bounded by distinct bigrams, not words. The
-    distinct-word ratio stays fully in-row (array_distinct). A doc with
-    fewer than 2 words has no bigrams; the left join restores it with a
-    zero count.
+    Shape at scale: everything is IN-ROW — the top-bigram count is the
+    longest equal-run of the doc's sorted bigram array, so the plan is
+    a bare scan+project with zero shuffles (plan-shape-tested).  The
+    earlier explode + (doc_id, bigram) partial-agg + join form was
+    correct but shuffled a row per distinct bigram.  Honest local
+    measurement: on single-JVM local[32] the two forms are a wash
+    (~6 s either way at the sf1eq point) because an in-process shuffle
+    is nearly free while the HOF runs interpreted; the in-row form is
+    kept because at cluster scale the exchange costs network+spill
+    that grows with data while interpreted eval only costs CPU that
+    scales with cores (BENCH finding #9's rule: HOFs exactly where
+    they delete a shuffle).  A doc with fewer than 2 words has no
+    bigrams and a zero count.
     """
     docs = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     base = docs.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_distinct"),
         words.alias("w"),
-    )
-    bigrams = base.select(
+    ).withColumn("top_bigram_n", F.expr(_TOP_BIGRAM))
+    return base.select(
         "doc_id",
-        F.explode(
-            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
-        ).alias("bg"),
-    )
-    top = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").alias("top_bigram_n"))
-    )
-    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    return (
-        base.drop("w")
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            "n_distinct",
-            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
-            r6(
-                F.coalesce("top_bigram_n", F.lit(0)).cast("double")
-                * 2
-                / F.col("n_words")
-            ).alias("rep2_ratio"),
-            r6(F.col("n_distinct").cast("double") / F.col("n_words")).alias(
-                "distinct_ratio"
-            ),
-        )
+        "n_words",
+        "n_distinct",
+        "top_bigram_n",
+        r6(
+            F.col("top_bigram_n").cast("double") * 2 / F.col("n_words")
+        ).alias("rep2_ratio"),
+        r6(F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+            "distinct_ratio"
+        ),
     )
 
 

@@ -167,15 +167,16 @@ def test_stratified_sample_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_repetition_stats_partial_aggregates(spark):
-    """The bigram top-count must partial-aggregate before its shuffle
-    (map-side combine collapses within-doc repeats) and never use a
-    window function."""
+def test_repetition_stats_is_map_only(spark):
+    """The top-bigram count is the longest equal-run of the sorted
+    in-row bigram array — the plan must be a bare scan+project with no
+    Exchange, no Window, no join (the explode+agg form shuffled a row
+    per distinct bigram)."""
     from doc_ocr_spark.operators.sampling import repetition_stats
 
-    plan = explain_str(repetition_stats(spark, "/root/testdata/sf0.001"), "formatted")
-    assert "Window" not in plan, plan
-    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    plan = explain_str(repetition_stats(spark, "/root/testdata/sf0.001"), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
 
 
 def test_nn_bucket_self_join_reuses_assignment(spark):
@@ -213,7 +214,7 @@ def test_contamination_joins_broadcast(spark):
 def test_curation_composite_plan_shape(spark):
     """corpus_curation folds all map-only signals into the base scan:
     one aggregating pass each for keepers/contamination/repetition/
-    quota remains (7 parquet scans total), the quota signal keeps its
+    quota remains (6 parquet scans total), the quota signal keeps its
     WindowGroupLimit partial pass (joined from domain_quota — an inline
     row_number would lose it and shuffle hot domains' full volume),
     every join broadcasts at this SF, and no Python UDF appears
@@ -221,7 +222,7 @@ def test_curation_composite_plan_shape(spark):
     from doc_ocr_spark.operators.sampling import corpus_curation
 
     plan = explain_str(corpus_curation(spark, "/root/testdata/sf0.001"), "simple")
-    assert plan.count("FileScan parquet") <= 7, plan
+    assert plan.count("FileScan parquet") <= 6, plan
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
