@@ -73,6 +73,7 @@ EXTRA = [
     "asof_click_attribution",
     "orders_status_unpivot",
     "streaming_asof_agg",
+    "customer_retention_setops",
 ]
 
 # synthetic extraction corpus size per SF (docs)

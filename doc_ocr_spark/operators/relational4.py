@@ -117,13 +117,50 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
+def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers ordering in 1996 INTERSECT/EXCEPT
+    those ordering in 1997 — retained vs churned, one labeled union.
+    Catalyst compiles INTERSECT/EXCEPT to left-semi / left-anti joins
+    over the deduplicated key sets (same machinery the anti-join row
+    uses), so both legs broadcast at small SF and shuffle on the key at
+    scale."""
+    o = load(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = keys(1996), keys(1997)
+    retained = y96.intersect(y97).select(
+        "o_custkey", F.lit("retained").alias("cohort")
+    )
+    churned = y96.exceptAll(y97).select(
+        "o_custkey", F.lit("churned").alias("cohort")
+    )
+    return retained.unionAll(churned)
+
+
+SETOPS_SQL = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+"""
+
+
 ORACLES = {
+    "customer_retention_setops": SETOPS_SQL,
     "session_window_events": SESSION_WINDOW_SQL,
     "revenue_grouping_sets": GROUPING_SETS_SQL,
     "high_value_customers_in_subquery": IN_SUBQUERY_SQL,
 }
 
 QUERIES = {
+    "customer_retention_setops": customer_retention_setops,
     "session_window_events": session_window_events,
     "revenue_grouping_sets": revenue_grouping_sets,
     "high_value_customers_in_subquery": high_value_customers_in_subquery,
