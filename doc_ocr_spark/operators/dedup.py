@@ -26,11 +26,14 @@ N_MINHASH = 8
 JACCARD_THRESHOLD = 0.5
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word 3-gram shingles per doc (docs with <3 words drop
-    out, mirrored by the oracle's empty range)."""
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """Word 3-gram shingles per doc (docs with <3 words drop out,
+    mirrored by the oracle's empty range).  ``distinct=False`` skips
+    the per-(doc_id, s) dedup exchange — for consumers that filter the
+    stream first (e.g. a broadcast semi-join against a small shingle
+    set) and dedup the far smaller remainder."""
     w = F.split(F.col("text"), " ")
-    return (
+    out = (
         docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 3)
         .select(
@@ -47,8 +50,8 @@ def _shingles(docs: DataFrame) -> DataFrame:
                 F.element_at("w", F.col("i") + 2),
             ).alias("s"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_CTE = """

@@ -224,17 +224,25 @@ def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark set, with the shared-shingle count.
 
     Scale shape: the benchmark shingle set is tiny by construction, so
-    the overlap test is a BROADCAST join against the corpus shingle
-    stream — no corpus-sized shuffle; the only aggregation keys on
-    doc_id over the (few) matching rows. This is the standard
-    eval-decontamination pass (C4/GPT-3 style n-gram overlap), with the
-    n-gram order inherited from the dedup module's shingler.
+    the overlap test is a BROADCAST join against the RAW (non-distinct)
+    corpus shingle stream — the broadcast join is a map-side filter, so
+    the only rows that ever reach an exchange are the matches: dedup to
+    per-(doc, shingle) and the doc_id count both run on that far
+    smaller set.  (Distincting the corpus stream BEFORE the join would
+    shuffle every shingle in the corpus — the join does not push below
+    a distinct.)  This is the standard eval-decontamination pass
+    (C4/GPT-3 style n-gram overlap), with the n-gram order inherited
+    from the dedup module's shingler.
     """
-    sh = _shingles(load(spark, sf_dir, "documents"))
-    bench = sh.filter(F.col("doc_id") < BENCH_DOCS).select("s").distinct()
+    sh = _shingles(load(spark, sf_dir, "documents"), distinct=False)
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_DOCS).select("s").distinct()
+    )
     corpus = sh.filter(F.col("doc_id") >= BENCH_DOCS)
     return (
         corpus.join(F.broadcast(bench), "s")
+        .select("doc_id", "s")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
