@@ -93,6 +93,9 @@ class _BlockParser(HTMLParser):
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
         st = self.st
+        if not st.parts:  # nothing accumulated — the common block-tag case
+            st.link_parts = []
+            return
         raw = " ".join("".join(st.parts).split())
         st.parts = []
         # link words counted over the COLLAPSED anchor text, so the

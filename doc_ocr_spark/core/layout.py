@@ -35,9 +35,21 @@ class Line:
     items: list[Token]
     y_center: float
     page: int
+    # lazy (len(items)-guarded) caches: lines are append-only while
+    # cluster_lines builds them and read-only afterwards, but the
+    # length guard keeps the cache correct even if that ever changes.
+    # line_text / sorted_items are called O(templates x patterns) times
+    # per line on the hot path (~60 re-sorts per line measured).
+    _sorted_cache: tuple[int, list[Token]] | None = None
+    _text_cache: tuple[int, str] | None = None
 
     def sorted_items(self) -> list[Token]:
-        return sorted(self.items, key=lambda t: t.x1)
+        if self._sorted_cache is None or self._sorted_cache[0] != len(self.items):
+            self._sorted_cache = (
+                len(self.items),
+                sorted(self.items, key=lambda t: t.x1),
+            )
+        return self._sorted_cache[1]
 
 
 def cluster_lines(tokens: list[Token], y_tol: float = 5.0) -> list[Line]:
@@ -111,6 +123,13 @@ def merge_tokens(
 
 def line_text(line: Line, sep: str = " ") -> str:
     """L4 — concatenate token texts in x order."""
+    if sep == " ":  # the hot default; other seps stay uncached
+        if line._text_cache is None or line._text_cache[0] != len(line.items):
+            line._text_cache = (
+                len(line.items),
+                " ".join(t.text for t in line.sorted_items()),
+            )
+        return line._text_cache[1]
     return sep.join(t.text for t in line.sorted_items())
 
 
