@@ -23,9 +23,14 @@ level, not inside one document).
 
 from __future__ import annotations
 
+from operator import attrgetter
 from dataclasses import dataclass, field
 
 from doc_ocr_spark.core.tokens import Token
+
+
+_BY_X1 = attrgetter("x1")
+_BY_PAGE_Y_X = attrgetter("page", "y_center", "x1")
 
 
 @dataclass
@@ -47,7 +52,7 @@ class Line:
         if self._sorted_cache is None or self._sorted_cache[0] != len(self.items):
             self._sorted_cache = (
                 len(self.items),
-                sorted(self.items, key=lambda t: t.x1),
+                sorted(self.items, key=_BY_X1),
             )
         return self._sorted_cache[1]
 
@@ -64,7 +69,7 @@ def cluster_lines(tokens: list[Token], y_tol: float = 5.0) -> list[Line]:
     is defined over it.
     """
     lines: list[Line] = []
-    for tok in sorted(tokens, key=lambda t: (t.page, t.y_center, t.x1)):
+    for tok in sorted(tokens, key=_BY_PAGE_Y_X):
         target: Line | None = None
         for line in reversed(lines):
             if line.page != tok.page:
@@ -97,8 +102,8 @@ def merge_tokens(
     (`合` + `计` -> `合计`).
     """
     if max_x_gap <= 0:
-        return sorted(tokens, key=lambda t: t.x1)
-    ordered = sorted(tokens, key=lambda t: t.x1)
+        return sorted(tokens, key=_BY_X1)
+    ordered = sorted(tokens, key=_BY_X1)
     out: list[Token] = []
     for tok in ordered:
         if out:
