@@ -190,6 +190,10 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
 
     spark.stop()
     total = round(sum(times.values()), 3)
+    # effective similarity knobs (ADVICE r02: env-read constants must be
+    # visible in recorded output, not just in two processes' memories)
+    from doc_ocr_spark.operators import similarity as _sim
+
     return {
         "metric": "headline suite wall time, steady-state (extraction job + operator queries)",
         "value": total,
@@ -202,14 +206,55 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
         "extract_docs": ext["docs"],
         "extract_docs_per_sec": round(ext["docs_per_sec"], 1),
         "extract_bytes_per_sec": round(ext["bytes_per_sec"], 1),
+        "knobs": {
+            "lsh_planes": _sim.N_PLANES,
+            "ivf_centroids": _sim.N_CENTROIDS,
+        },
     }
+
+
+def compact_line(result: dict) -> str:
+    """The ONE stdout JSON line, kept well under the driver's ~4 KB tail
+    capture (BENCH_r02 lesson: the full r02 line grew past the capture
+    window, so the driver recorded ``parsed: null``).  Per-query times
+    are merged (headline + extra) at 2 dp; the cold-pass dict and other
+    detail live in BENCH/last_run_full.json, committed per run."""
+    qs = {k: round(v, 2) for k, v in result["queries"].items()}
+    qs.update({k: round(v, 2) for k, v in result.get("queries_extra", {}).items()})
+    line = json.dumps(
+        {
+            "metric": "headline suite steady-state wall sec",
+            "value": result["value"],
+            "unit": "sec",
+            "queries": qs,
+            "sf": result["sf"],
+            "cpus": result["cpus"],
+            "extract_docs_per_sec": result["extract_docs_per_sec"],
+            "extract_bytes_per_sec": result["extract_bytes_per_sec"],
+            "knobs": result["knobs"],
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 3500:  # hard stop before the tail-capture hazard
+        line = json.dumps(
+            {k: v for k, v in json.loads(line).items() if k != "queries"},
+            separators=(",", ":"),
+        )
+    return line
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result = run(sf_dir, cpus)
-    print(json.dumps(result))
+    full_path = os.path.join(REPO, "BENCH", "last_run_full.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass  # read-only checkout must not break the stdout contract
+    print(compact_line(result))
 
 
 if __name__ == "__main__":

@@ -103,11 +103,57 @@ def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
     return rows
 
 
+MEDIA_SCHEMA = "media_id long, kind string, fmt string, payload binary"
+_MEDIA_PART_FILES = 8  # part files in the materialized table
+# bump whenever a codec/corpus change alters payload bytes — the cache
+# key must change or a stale /tmp table would poison the parity gates
+MEDIA_GEN_VERSION = 3
+
+
+def media_table_path(n: int = N_MEDIA, seed: int = SEED) -> str:
+    """Materialize the deterministic media corpus as a PARQUET TABLE
+    (VERDICT r02 item 4: the media table must be a scan like
+    `documents`, not a driver-side createDataFrame list).  /root/testdata
+    is read-only, so datagen writes the table once to a /tmp cache keyed
+    by (n, seed) — same role as the bench extraction-corpus cache.  The
+    table is written as {_MEDIA_PART_FILES} part files; readers take
+    their parallelism from file splits (at corpus scale, row groups),
+    never from a hard-coded repartition."""
+    import os
+    import shutil
+    import tempfile
+
+    path = f"/tmp/doc_ocr_spark_media/media_v{MEDIA_GEN_VERSION}_n{n}_s{seed}.parquet"
+    if not os.path.isdir(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = synth_media_rows(n, seed)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(path))
+        per = (len(rows) + _MEDIA_PART_FILES - 1) // _MEDIA_PART_FILES
+        for k in range(_MEDIA_PART_FILES):
+            chunk = rows[k * per : (k + 1) * per]
+            table = pa.table(
+                {
+                    "media_id": pa.array([r["media_id"] for r in chunk], pa.int64()),
+                    "kind": pa.array([r["kind"] for r in chunk], pa.string()),
+                    "fmt": pa.array([r["fmt"] for r in chunk], pa.string()),
+                    "payload": pa.array([r["payload"] for r in chunk], pa.binary()),
+                }
+            )
+            pq.write_table(table, os.path.join(tmp, f"part-{k:03d}.parquet"))
+        try:
+            os.rename(tmp, path)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def media_df(spark: SparkSession, n: int = N_MEDIA) -> DataFrame:
-    return spark.createDataFrame(
-        [(r["media_id"], r["kind"], r["fmt"], r["payload"]) for r in synth_media_rows(n)],
-        "media_id long, kind string, fmt string, payload binary",
-    )
+    """Scan of the materialized media table — kind/fmt filters push down
+    to the parquet reader, parallelism comes from file splits."""
+    return spark.read.schema(MEDIA_SCHEMA).parquet(media_table_path(n))
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +214,7 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode PNG/PPM images, extract features, md5 the 8x8 thumbnail.
     Output is all-scalar (driver pandas canon requires hashable cells)."""
     imgs = media_df(spark).filter(F.col("kind") == "image").select("media_id", "payload")
-    return imgs.repartition(8, "media_id").mapInPandas(_image_kernel, IMAGE_SCHEMA)
+    return imgs.mapInPandas(_image_kernel, IMAGE_SCHEMA)
 
 
 def _expected_image_rows() -> list[dict]:
@@ -273,7 +319,7 @@ def _audio_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode WAV audio, RMS features, frame decimation."""
     auds = media_df(spark).filter(F.col("kind") == "audio").select("media_id", "payload")
-    return auds.repartition(8, "media_id").mapInPandas(_audio_kernel, AUDIO_SCHEMA)
+    return auds.mapInPandas(_audio_kernel, AUDIO_SCHEMA)
 
 
 def _expected_audio_rows() -> list[dict]:
@@ -346,7 +392,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample 'video' payloads (deterministic fake format; real
     decode is a NotImplementedError stub pending a codec library)."""
     vids = media_df(spark).filter(F.col("kind") == "video").select("media_id", "payload")
-    return vids.repartition(8, "media_id").mapInPandas(_video_kernel, VIDEO_SCHEMA)
+    return vids.mapInPandas(_video_kernel, VIDEO_SCHEMA)
 
 
 def _expected_video_rows() -> list[dict]:
