@@ -110,10 +110,14 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is O(n_docs) rows — NEVER hint it broadcast (VERDICT r02
+    # item 3: an unconditional broadcast of a per-doc relation is a
+    # guaranteed driver OOM at corpus scale).  Plain equi-joins let AQE
+    # pick broadcast only when the runtime size actually fits.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -423,39 +427,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels.count()  # materialize round 0
     converged = False
-    for _ in range(30):  # >= worst-case component diameter at this SF
+    from pyspark.sql import Observation
+
+    for rnd in range(30):  # >= worst-case component diameter at this SF
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        # persist each round: the convergence-check action and the next
-        # round both consume `updated`; without it every round replays
-        # the whole iterative lineage (O(rounds^2)) and the plan grows
-        # unboundedly — the standard Pregel-on-DataFrames discipline
+        # persist each round: the convergence check and the next round
+        # both consume `updated`; without it every round replays the
+        # whole iterative lineage (O(rounds^2)) and the plan grows
+        # unboundedly — the standard Pregel-on-DataFrames discipline.
+        # The convergence probe rides the SAME materializing action via
+        # Observation (VERDICT r02 item 7): one job per round, not a
+        # materialize + probe-join pair.
+        new_label = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+        )
+        obs = Observation(f"cc_round_{rnd}")
         updated = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                new_label.alias("new_cluster_id"),
+                (new_label < F.col("cluster_id")).alias("_changed"),
             )
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n_changed"))
+            .select("doc_id", F.col("new_cluster_id").alias("cluster_id"), "_changed")
             .persist()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        updated.count()  # materialize + fire the observation
+        changed = obs.get["n_changed"] or 0
         labels.unpersist()
         labels = updated
         if changed == 0:
             converged = True
             break
+    labels = labels.drop("_changed")
     edges.unpersist()
     if not converged:
         # silent truncation would split real clusters (multiple keepers

@@ -304,19 +304,14 @@ CONTAM_MIN = 8  # shared shingles with the benchmark set
 REP_MAX = 0.2  # max top-bigram coverage
 
 
-def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship curation pass: every document gets a keep/drop
-    decision with the FIRST failing rule as its reason, composing the
-    individual operators into one plan:
+CURATION_SIGNALS_VERSION = 1
+_SIGNALS_PARTS = 8  # doc_id-hash partitions of the materialized table
 
-      benchmark   doc is part of the held-out eval set (never train on it)
-      duplicate   exact-dup loser (a lower doc_id has identical text)
-      contaminated >= CONTAM_MIN shingles shared with the benchmark set
-      lang_unknown language ID could not classify
-      repetitive  top bigram covers > REP_MAX of the words
-      over_quota  beyond the per-source cap
-      sampled_out hash-sampled away by the per-lang rate
-      kept        survives everything
+
+def curation_signals_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE DAG computing every per-doc curation signal column:
+    (doc_id, source, keep_id, bucket, rate, lang_pred, n_shared,
+    rep2_ratio, in_quota).
 
     Composition is by doc_id joins of the constituent operators'
     outputs, so each signal keeps its own scale shape (broadcast
@@ -327,10 +322,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain's full volume) and Catalyst stitches them into a single DAG.
     Map-only signals (lang ID, sample bucket/rate, text hash) fold into
     the base scan; only the aggregating signals (dedup keepers,
-    contamination, repetition, quota) add their own corpus passes.  At
-    100 TB the per-doc signal columns would be materialized once as a
-    signals table and the decision pass would join against that — this
-    query IS that DAG, minus the intermediate write.
+    contamination, repetition, quota) add their own corpus passes.
     """
     docs = load(spark, sf_dir, "documents")
     keepers = docs.groupBy(F.md5("text").alias("h")).agg(
@@ -349,18 +341,91 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contam = contamination_flags(spark, sf_dir)
     rep = repetition_stats(spark, sf_dir).select("doc_id", "rep2_ratio")
-    joined = (
+    return (
         base.join(contam, "doc_id", "left")
         .join(rep, "doc_id")
         .join(within_quota, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "keep_id",
+            "bucket",
+            "rate",
+            "lang_pred",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            "rep2_ratio",
+            F.col("in_quota").isNotNull().alias("in_quota"),
+        )
     )
+
+
+def curation_signals_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the signals table ONCE per corpus (VERDICT r02 item
+    2: the curation decision must join a signals table, not re-scan
+    `documents` per signal).  The testdata dir is read-only, so the
+    table lands in a /tmp cache keyed by corpus path; it is written
+    doc_id-hash-partitioned ({_SIGNALS_PARTS} parts here — at 100 TB
+    this is a `bucketBy(doc_id)` catalog table so the decision join and
+    any doc-keyed consumer are exchange-free)."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        stamp = str(os.path.getmtime(src))  # regenerated corpus -> new key
+    except OSError:
+        stamp = "0"
+    key = hashlib.md5(f"{src}|{stamp}".encode()).hexdigest()[:16]
+    path = (
+        f"/tmp/doc_ocr_spark_signals/v{CURATION_SIGNALS_VERSION}_{key}.parquet"
+    )
+    if not os.path.isdir(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        curation_signals_frame(spark, sf_dir).repartition(
+            _SIGNALS_PARTS, "doc_id"
+        ).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation pass: every document gets a keep/drop
+    decision with the FIRST failing rule as its reason:
+
+      benchmark   doc is part of the held-out eval set (never train on it)
+      duplicate   exact-dup loser (a lower doc_id has identical text)
+      contaminated >= CONTAM_MIN shingles shared with the benchmark set
+      lang_unknown language ID could not classify
+      repetitive  top bigram covers > REP_MAX of the words
+      over_quota  beyond the per-source cap
+      sampled_out hash-sampled away by the per-lang rate
+      kept        survives everything
+
+    Scale shape: the per-doc signal columns are MATERIALIZED once
+    (`curation_signals_path`) and the decision is a join of one
+    `documents` identity scan against that table (plan-shape-tested:
+    exactly two FileScans).  Re-deriving every signal inline cost ~6
+    corpus scans per decision run; the signals table pays them once and
+    amortizes across decision reruns, threshold sweeps, and any other
+    doc-keyed consumer — the standard signals/decision split of
+    large-corpus curation pipelines.
+    """
+    sig = spark.read.parquet(curation_signals_path(spark, sf_dir))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(sig, "doc_id")
     reason = (
         F.when(F.col("doc_id") < BENCH_DOCS, "benchmark")
         .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
-        .when(F.coalesce("n_shared", F.lit(0)) >= CONTAM_MIN, "contaminated")
+        .when(F.col("n_shared") >= CONTAM_MIN, "contaminated")
         .when(F.col("lang_pred") == "und", "lang_unknown")
         .when(F.col("rep2_ratio") > REP_MAX, "repetitive")
-        .when(F.col("in_quota").isNull(), "over_quota")
+        .when(~F.col("in_quota"), "over_quota")
         .when(F.col("bucket") >= F.col("rate"), "sampled_out")
         .otherwise("kept")
     )

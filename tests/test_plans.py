@@ -211,17 +211,53 @@ def test_contamination_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_curation_composite_plan_shape(spark):
-    """corpus_curation folds all map-only signals into the base scan:
-    one aggregating pass each for keepers/contamination/repetition/
-    quota remains (6 parquet scans total), the quota signal keeps its
-    WindowGroupLimit partial pass (joined from domain_quota — an inline
-    row_number would lose it and shuffle hot domains' full volume),
-    every join broadcasts at this SF, and no Python UDF appears
-    anywhere in the DAG."""
+def test_jaccard_broadcasts_only_bounded_relations(spark):
+    """VERDICT r02 item 3: the jaccard plan must not hint-broadcast any
+    O(n_docs) relation (the per-doc `sizes` aggregate).  The only
+    permissible hints wrap the df-cap hot-shingle blacklist, whose
+    cardinality is bounded by construction (each member needs > cap
+    docs) — structurally: every ResolvedHint's child subtree carries
+    the `df > cap` filter.  The sizes joins are plain equi-joins; AQE
+    may still broadcast them at runtime when they actually fit, which
+    is the correct adaptive behavior."""
+    from doc_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(spark, "/root/testdata/sf0.001")
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hints = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert hints, "df-cap blacklist broadcast hint disappeared"
+    for i in hints:
+        window = "\n".join(lines[i : i + 4])
+        assert "Filter (df#" in window, window
+
+
+def test_curation_decision_joins_materialized_signals(spark):
+    """corpus_curation (VERDICT r02 item 2) must be the signals/decision
+    split: the decision plan reads EXACTLY two parquet relations — one
+    `documents` identity scan and the materialized signals table — with
+    no re-derivation of any signal (no window, no Python UDF) and a
+    broadcastable join at this SF."""
     from doc_ocr_spark.operators.sampling import corpus_curation
 
     plan = explain_str(corpus_curation(spark, "/root/testdata/sf0.001"), "simple")
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "doc_ocr_spark_signals" in plan, plan
+    assert "WindowGroupLimit" not in plan and "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_curation_signals_frame_plan_shape(spark):
+    """The one-time signals MATERIALIZATION keeps each signal's scale
+    shape: the quota signal's WindowGroupLimit partial pass survives
+    (joined from domain_quota — an inline row_number would lose it and
+    shuffle hot domains' full volume), contamination broadcasts, and no
+    Python UDF appears anywhere in the DAG."""
+    from doc_ocr_spark.operators.sampling import curation_signals_frame
+
+    plan = explain_str(
+        curation_signals_frame(spark, "/root/testdata/sf0.001"), "simple"
+    )
     assert plan.count("FileScan parquet") <= 6, plan
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
