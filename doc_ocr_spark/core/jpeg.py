@@ -454,13 +454,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comp_order: list[int] = []
     restart_interval = 0
     scan_start = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them (foreign encoders legally emit them)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos += 2  # standalone markers carry no length field
+            continue
+        if marker == 0x00:
+            raise ValueError("stuffed byte outside entropy-coded scan")
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2:
+            raise ValueError("invalid JPEG segment length")
         if pos + 2 + seglen > len(payload):
             raise ValueError("truncated JPEG segment")
         body = payload[pos + 4 : pos + 2 + seglen]
@@ -478,9 +493,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qts[tq] = tbl
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
             prec, h, wid, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8 or nc != 3:
                 raise ValueError("only 8-bit 3-component baseline supported")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 segment")
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comp_hv[cid] = (hv >> 4, hv & 0xF)
@@ -492,8 +511,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 tclass, tid = body[i] >> 4, body[i] & 0xF
+                if tclass > 1 or i + 17 > len(body):
+                    raise ValueError("invalid DHT segment")
                 bits = list(body[i + 1 : i + 17])
                 nvals = sum(bits)
+                if i + 17 + nvals > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[i + 17 : i + 17 + nvals])
                 tab = _build_decode(bits, vals)
                 (dc_tabs if tclass == 0 else ac_tabs)[tid] = tab
@@ -503,6 +526,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
@@ -512,6 +537,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + seglen
     if scan_start is None or h is None:
         raise ValueError("missing SOS/SOF0")
+    # validate every referenced table id BEFORE entropy decode — a
+    # malformed stream must die with ValueError, not KeyError (ADVICE r02)
+    for cid in comp_order:
+        if comp_q.get(cid) not in qts:
+            raise ValueError(f"component {cid} references missing quant table")
+        if cid not in comp_tabs:
+            raise ValueError(f"component {cid} missing from SOS")
+        dct, act = comp_tabs[cid]
+        if dct not in dc_tabs or act not in ac_tabs:
+            raise ValueError(f"component {cid} references missing huffman table")
 
     hmax = max(fh for fh, _ in comp_hv.values())
     vmax = max(fv for _, fv in comp_hv.values())

@@ -196,22 +196,35 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:
             cur = (line + prev) % 256
-        elif ftype in (1, 3, 4):
-            # left-dependent: sequential across x (small images; fine)
-            cur = np.zeros((w, 3), dtype=np.int16)
+        elif ftype == 1:
+            # Sub: cur[x] = line[x] + cur[x-1]  =>  prefix sum mod 256
+            cur = (np.cumsum(line.astype(np.int64), axis=0) % 256).astype(np.int16)
+        elif ftype in (3, 4):
+            # Average/Paeth depend on the just-decoded left pixel, so the
+            # x-scan is inherently sequential — but plain-int lists beat
+            # per-pixel numpy scalar ops ~10x (ADVICE r02: the encoder's
+            # MSAD heuristic actively picks these filters, so this loop
+            # is hot for any larger image riding the kernel)
+            ln = line.tolist()
+            pv = prev.tolist()
+            dec: list[list[int]] = []
+            left = [0, 0, 0]
             for x in range(w):
-                left = cur[x - 1] if x else np.zeros(3, np.int16)
-                up = prev[x]
-                ul = prev[x - 1] if x else np.zeros(3, np.int16)
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    pred = _paeth_pred(
-                        left.reshape(1, 3), up.reshape(1, 3), ul.reshape(1, 3)
-                    ).reshape(3)
-                cur[x] = (line[x] + pred) % 256
+                up = pv[x]
+                ul = pv[x - 1] if x else [0, 0, 0]
+                px3 = [0, 0, 0]
+                for ch in range(3):
+                    a, b, c = left[ch], up[ch], ul[ch]
+                    if ftype == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    px3[ch] = (ln[x][ch] + pred) & 255
+                dec.append(px3)
+                left = px3
+            cur = np.array(dec, dtype=np.int16)
         else:
             raise ValueError(f"bad filter type {ftype}")
         out[y] = cur.astype(np.uint8)

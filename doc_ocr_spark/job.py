@@ -249,6 +249,12 @@ def run_extraction(
             _lineage_from_files(spark, new_files)
             .withColumn("extractor_version", F.lit(KERNEL_VERSION))
             .withColumn("wall_ms", F.lit(wall_ms))
+            # bytes_in stays in the schema as a nullable long (ADVICE
+            # r02): the footer-only lineage path no longer measures it
+            # per bucket, but dropping the column made appends to a
+            # pre-existing _lineage dir mixed-schema — a later reader
+            # selecting bytes_in would get nondeterministic resolution
+            .withColumn("bytes_in", F.lit(None).cast("long"))
         )
         lineage.write.mode("append").parquet(lineage_path(output))
     return {

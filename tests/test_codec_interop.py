@@ -1,0 +1,202 @@
+"""Wire-format interop for the from-scratch codecs (VERDICT r02 item 5):
+decode byte streams the repo's own encoders NEVER produce.
+
+The PNG vectors come from an INDEPENDENT writer defined here (plain-int
+filter math, stored/low-level deflate, split IDAT, ancillary chunks,
+forced filter types — every one a shape encode_png never emits: the
+encoder always writes one IDAT at zlib level 6 with MSAD-chosen
+filters).  The JPEG vectors are post-processed streams exercising
+T.81 wire freedoms (0xFF fill bytes before markers, standalone TEM)
+plus malformed streams that must die with ValueError, not
+KeyError/IndexError (ADVICE r02).
+"""
+
+from __future__ import annotations
+
+import itertools
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from doc_ocr_spark.core.jpeg import decode_jpeg, encode_jpeg
+from doc_ocr_spark.core.media import decode_png
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def write_png_independent(
+    px: np.ndarray,
+    filters: list[int],
+    idat_split: int = 1,
+    level: int = 0,
+    ancillary: bool = False,
+) -> bytes:
+    """Minimal independent PNG writer: per-row filter forced from the
+    ``filters`` cycle, deflate at the given level (0 = stored blocks),
+    IDAT split across ``idat_split`` chunks, optional gAMA/tEXt chunks
+    interleaved.  Shares no code with encode_png beyond the PNG spec."""
+    h, w, _ = px.shape
+    img = px.tolist()
+    raw = bytearray()
+    prev = [[0, 0, 0] for _ in range(w)]
+    for y, f in zip(range(h), itertools.cycle(filters)):
+        raw.append(f)
+        row = img[y]
+        left = [0, 0, 0]
+        for x in range(w):
+            up = prev[x]
+            ul = prev[x - 1] if x else [0, 0, 0]
+            for ch in range(3):
+                v = row[x][ch]
+                if f == 0:
+                    fb = v
+                elif f == 1:
+                    fb = v - left[ch]
+                elif f == 2:
+                    fb = v - up[ch]
+                elif f == 3:
+                    fb = v - ((left[ch] + up[ch]) >> 1)
+                else:
+                    fb = v - _paeth(left[ch], up[ch], ul[ch])
+                raw.append(fb & 255)
+            left = row[x]
+        prev = row
+    comp = zlib.compressobj(level)
+    data = comp.compress(bytes(raw)) + comp.flush()
+    per = (len(data) + idat_split - 1) // idat_split
+    out = PNG_MAGIC + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    )
+    if ancillary:
+        out += _chunk(b"gAMA", struct.pack(">I", 45455))
+    for k in range(idat_split):
+        out += _chunk(b"IDAT", data[k * per : (k + 1) * per])
+        if ancillary and k == 0:
+            out += _chunk(b"tEXt", b"Software\x00not-our-encoder")
+    return out + _chunk(b"IEND", b"")
+
+
+def _px(h: int, w: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "filters,split,level,anc",
+    [
+        ([0], 1, 0, False),          # stored deflate blocks
+        ([1], 1, 9, False),          # all-Sub, max compression
+        ([2], 3, 0, True),           # all-Up, split IDAT + ancillary
+        ([3], 1, 1, False),          # all-Average
+        ([4], 2, 0, True),           # all-Paeth, split + ancillary
+        ([0, 1, 2, 3, 4], 4, 0, True),  # cycling filters, 4-way split
+    ],
+)
+def test_png_decodes_foreign_wire_shapes(filters, split, level, anc):
+    px = _px(13, 11)
+    payload = write_png_independent(
+        px, filters, idat_split=split, level=level, ancillary=anc
+    )
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_gradient_exercises_every_filter_prediction():
+    # smooth gradient: Sub/Average/Paeth predictions are non-trivial
+    y, x = np.mgrid[0:20, 0:17]
+    px = np.stack([(y * 7) % 256, (x * 11) % 256, (y + x) % 256], axis=2).astype(
+        np.uint8
+    )
+    for f in range(5):
+        payload = write_png_independent(px, [f], level=0)
+        assert np.array_equal(decode_png(payload), px), f"filter {f}"
+
+
+def test_png_bad_crc_raises():
+    payload = bytearray(write_png_independent(_px(4, 4), [0]))
+    payload[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+
+
+def test_jpeg_fill_bytes_and_tem_markers_decode_identically():
+    """T.81 B.1.1.2: fill bytes (0xFF) may precede any marker; TEM
+    (0xFF01) is a standalone marker.  Our encoder never emits either —
+    inject both and require bit-identical decode."""
+    px = _px(24, 17, seed=3)
+    enc = encode_jpeg(px, 85)
+    base = decode_jpeg(enc)
+    # after SOI: TEM marker, then a fill byte glued to the next marker
+    variant = enc[:2] + b"\xff\x01" + b"\xff" + enc[2:]
+    assert np.array_equal(decode_jpeg(variant), base)
+    # fill bytes in front of EVERY pre-scan marker segment
+    sos = enc.find(b"\xff\xda")
+    head = enc[2:sos].replace(b"\xff", b"\xff\xff", 1)  # double first marker's FF
+    assert np.array_equal(decode_jpeg(enc[:2] + head + enc[sos:]), base)
+
+
+def test_jpeg_fill_bytes_with_restart_intervals():
+    px = _px(32, 32, seed=5)
+    enc = encode_jpeg(px, 85, subsampling="420", restart_interval=1)
+    variant = enc[:2] + b"\xff\x01" + enc[2:]
+    assert np.array_equal(decode_jpeg(variant), decode_jpeg(enc))
+
+
+def _find_segment(enc: bytes, marker: bytes) -> tuple[int, int]:
+    i = enc.find(marker)
+    assert i >= 0
+    (seglen,) = struct.unpack_from(">H", enc, i + 2)
+    return i, 2 + seglen
+
+
+def test_jpeg_missing_quant_table_is_valueerror():
+    enc = encode_jpeg(_px(16, 16), 85)
+    i, n = _find_segment(enc, b"\xff\xdb")
+    with pytest.raises(ValueError, match="quant"):
+        decode_jpeg(enc[:i] + enc[i + n :])
+
+
+def test_jpeg_missing_huffman_table_is_valueerror():
+    enc = bytearray(encode_jpeg(_px(16, 16), 85))
+    i = enc.find(b"\xff\xda")
+    enc[i + 6] = 0x33  # component 0 -> dc table 3 / ac table 3 (absent)
+    with pytest.raises(ValueError, match="huffman"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_invalid_dht_class_is_valueerror():
+    # SOI + DHT whose table class is 2 (only 0/1 exist in baseline)
+    with pytest.raises(ValueError, match="DHT"):
+        decode_jpeg(b"\xff\xd8\xff\xc4\x00\x03\x20")
+
+
+def test_jpeg_truncated_segment_is_valueerror():
+    enc = encode_jpeg(_px(16, 16), 85)
+    i, n = _find_segment(enc, b"\xff\xc0")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: i + 6])  # SOF0 cut mid-segment
+
+
+def test_jpeg_fill_bytes_to_eof_is_valueerror():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff\xff")
