@@ -45,13 +45,45 @@ def _as_stream_dir(sf_dir: str) -> str:
     return d
 
 
+class _state_partitions:
+    """Size the stream's state-store partition count from the INPUT
+    (~32 MB of events per state partition, floored at 2, capped at the
+    session default) for the duration of one stream run.  A streaming
+    query fixes `spark.sql.shuffle.partitions` as its state partition
+    count at START; the session default (sized for the batch suite's
+    big shuffles) costs pure task overhead on a small stateful stream —
+    measured 3.1 -> 1.6 s per gate run at sf0.01.  At real ingest
+    volume the same rule scales the count UP to the session cap.  The
+    conf is restored immediately after the stream finishes (the gate
+    runs synchronously to completion)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        self.spark = spark
+        try:
+            nbytes = os.path.getsize(
+                os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+            )
+        except OSError:
+            nbytes = 0
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.target = max(2, min(cap, nbytes // (32 << 20) + 2))
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.target))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_ocr_spark.streaming.windows import streaming_hourly_windows
 
     name = f"stream_hourly_gate_{next(_COUNTER)}"
-    return streaming_hourly_windows(
-        spark, _as_stream_dir(sf_dir), query_name=name
-    )
+    with _state_partitions(spark, sf_dir):
+        return streaming_hourly_windows(
+            spark, _as_stream_dir(sf_dir), query_name=name
+        )
 
 
 def streaming_asof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,9 +93,10 @@ def streaming_asof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_ocr_spark.streaming.windows import streaming_asof_attribution
 
     name = f"stream_asof_gate_{next(_COUNTER)}"
-    return streaming_asof_attribution(
-        spark, _as_stream_dir(sf_dir), query_name=name
-    )
+    with _state_partitions(spark, sf_dir):
+        return streaming_asof_attribution(
+            spark, _as_stream_dir(sf_dir), query_name=name
+        )
 
 
 ORACLES = {"streaming_hourly_agg": HOURLY_SQL, "streaming_asof_agg": _ASOF_SQL}
