@@ -55,7 +55,14 @@ class _state_partitions:
     measured 3.1 -> 1.6 s per gate run at sf0.01.  At real ingest
     volume the same rule scales the count UP to the session cap.  The
     conf is restored immediately after the stream finishes (the gate
-    runs synchronously to completion)."""
+    runs synchronously to completion).
+
+    Applies ONLY to JVM-side stateful streams (the windowed agg).  For
+    `applyInPandasWithState` streams the partition count is also the
+    PYTHON worker parallelism and the kernel is compute-bound — sizing
+    by bytes strangles it (measured at sf0.1: 4.7 s at 2 partitions vs
+    1.7 s at the session default), so those gates inherit the session
+    setting unchanged."""
 
     def __init__(self, spark: SparkSession, sf_dir: str) -> None:
         self.spark = spark
@@ -93,10 +100,9 @@ def streaming_asof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_ocr_spark.streaming.windows import streaming_asof_attribution
 
     name = f"stream_asof_gate_{next(_COUNTER)}"
-    with _state_partitions(spark, sf_dir):
-        return streaming_asof_attribution(
-            spark, _as_stream_dir(sf_dir), query_name=name
-        )
+    return streaming_asof_attribution(
+        spark, _as_stream_dir(sf_dir), query_name=name
+    )
 
 
 ORACLES = {"streaming_hourly_agg": HOURLY_SQL, "streaming_asof_agg": _ASOF_SQL}
