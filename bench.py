@@ -72,6 +72,7 @@ EXTRA = [
     "corpus_curation",
     "asof_click_attribution",
     "orders_status_unpivot",
+    "streaming_hourly_agg",
     "streaming_asof_agg",
     "customer_retention_setops",
 ]
