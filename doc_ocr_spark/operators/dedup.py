@@ -435,31 +435,28 @@ def minhash_pairs_path(spark: SparkSession, sf_dir: str) -> str:
     dedup pipeline pair GENERATION and cluster RESOLUTION are separate
     stages with a materialization between — clustering re-runs (new
     thresholds, incremental batches) must not re-shingle the corpus.
-    Keyed by corpus path+mtime and the pair-generation constants, so a
-    constant change or regenerated corpus invalidates the cache."""
-    import hashlib
+    Staged under ``staging.stage_root`` (env-overridable; shared storage
+    on a cluster).  The key folds the corpus CONTENT fingerprint plus
+    every constant the pair table depends on — minhash width, Jaccard
+    threshold AND the shingle definition itself (ADVICE r03: a shingle
+    change must invalidate without a manual version bump)."""
     import os
-    import shutil
-    import uuid
 
-    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    try:
-        stamp = str(os.path.getmtime(src))
-    except OSError:
-        stamp = "0"
-    key = hashlib.md5(
-        f"{src}|{stamp}|{N_MINHASH}|{JACCARD_THRESHOLD}".encode()
-    ).hexdigest()[:16]
-    path = f"/tmp/doc_ocr_spark_pairs/v{MINHASH_PAIRS_VERSION}_{key}.parquet"
-    if not os.path.isdir(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    from doc_ocr_spark import staging
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = staging.content_key(
+        MINHASH_PAIRS_VERSION,
+        staging.file_fingerprint(src),
+        N_MINHASH,
+        JACCARD_THRESHOLD,
+        _SHINGLES_CTE,  # canonical text of the shingle definition
+    )
+
+    def build(tmp: str) -> None:
         minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)  # atomic publish; loser cleans up
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+
+    return staging.ensure_staged("pairs", key, build)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

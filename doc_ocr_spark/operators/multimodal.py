@@ -114,23 +114,24 @@ def media_table_path(n: int = N_MEDIA, seed: int = SEED) -> str:
     """Materialize the deterministic media corpus as a PARQUET TABLE
     (VERDICT r02 item 4: the media table must be a scan like
     `documents`, not a driver-side createDataFrame list).  /root/testdata
-    is read-only, so datagen writes the table once to a /tmp cache keyed
-    by (n, seed) — same role as the bench extraction-corpus cache.  The
-    table is written as {_MEDIA_PART_FILES} part files; readers take
-    their parallelism from file splits (at corpus scale, row groups),
-    never from a hard-coded repartition."""
+    is read-only, so datagen writes the table once to the staging root
+    (``staging.stage_root`` — env-overridable, per-user fallback) keyed
+    by (generator version, n, seed).  The table is written as
+    {_MEDIA_PART_FILES} part files; readers take their parallelism from
+    file splits (at corpus scale, row groups), never from a hard-coded
+    repartition."""
     import os
-    import shutil
-    import tempfile
 
-    path = f"/tmp/doc_ocr_spark_media/media_v{MEDIA_GEN_VERSION}_n{n}_s{seed}.parquet"
-    if not os.path.isdir(path):
+    from doc_ocr_spark import staging
+
+    key = f"media_v{MEDIA_GEN_VERSION}_n{n}_s{seed}"
+
+    def build(tmp: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         rows = synth_media_rows(n, seed)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = tempfile.mkdtemp(dir=os.path.dirname(path))
+        os.makedirs(tmp, exist_ok=True)
         per = (len(rows) + _MEDIA_PART_FILES - 1) // _MEDIA_PART_FILES
         for k in range(_MEDIA_PART_FILES):
             chunk = rows[k * per : (k + 1) * per]
@@ -143,11 +144,8 @@ def media_table_path(n: int = N_MEDIA, seed: int = SEED) -> str:
                 }
             )
             pq.write_table(table, os.path.join(tmp, f"part-{k:03d}.parquet"))
-        try:
-            os.rename(tmp, path)  # atomic publish; loser cleans up
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+
+    return staging.ensure_staged("media", key, build)
 
 
 def media_df(spark: SparkSession, n: int = N_MEDIA) -> DataFrame:

@@ -363,35 +363,45 @@ def curation_signals_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the signals table ONCE per corpus (VERDICT r02 item
     2: the curation decision must join a signals table, not re-scan
     `documents` per signal).  The testdata dir is read-only, so the
-    table lands in a /tmp cache keyed by corpus path; it is written
-    doc_id-hash-partitioned ({_SIGNALS_PARTS} parts here — at 100 TB
-    this is a `bucketBy(doc_id)` catalog table so the decision join and
-    any doc-keyed consumer are exchange-free)."""
-    import hashlib
-    import os
-    import shutil
-    import uuid
+    table lands in the staging root (``staging.stage_root`` — env-
+    overridable; on a cluster point SPARK_GRAFT_STAGE_DIR at shared
+    storage); it is written doc_id-hash-partitioned ({_SIGNALS_PARTS}
+    parts here — at 100 TB this is a `bucketBy(doc_id)` catalog table
+    so the decision join and any doc-keyed consumer are exchange-free).
 
-    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    try:
-        stamp = str(os.path.getmtime(src))  # regenerated corpus -> new key
-    except OSError:
-        stamp = "0"
-    key = hashlib.md5(f"{src}|{stamp}".encode()).hexdigest()[:16]
-    path = (
-        f"/tmp/doc_ocr_spark_signals/v{CURATION_SIGNALS_VERSION}_{key}.parquet"
+    The cache key folds the corpus CONTENT fingerprint plus every
+    upstream constant that shapes a signal column (sampling buckets and
+    rates, lang-ID rule, shingle definition, contamination/quota/
+    repetition thresholds) — changing any of them invalidates the table
+    without a manual version bump (ADVICE r03)."""
+    import os
+
+    from doc_ocr_spark import staging
+    from doc_ocr_spark.operators.textstats import LANG_SQL
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = staging.content_key(
+        CURATION_SIGNALS_VERSION,
+        _SIGNALS_PARTS,
+        staging.file_fingerprint(src),
+        _DOC_BUCKET,
+        _RATE_CASE,
+        LANG_SQL,
+        _SHINGLES_CTE,
+        BENCH_DOCS,
+        CONTAM_MIN,
+        REP_MAX,
+        DOMAIN_QUOTA,
+        _QUOTA_BUCKET,
+        _TOP_BIGRAM,
     )
-    if not os.path.isdir(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+
+    def build(tmp: str) -> None:
         curation_signals_frame(spark, sf_dir).repartition(
             _SIGNALS_PARTS, "doc_id"
         ).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)  # atomic publish; loser cleans up
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+
+    return staging.ensure_staged("signals", key, build)
 
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:

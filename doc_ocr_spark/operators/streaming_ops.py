@@ -31,9 +31,11 @@ def _as_stream_dir(sf_dir: str) -> str:
     from a regenerated corpus is replaced instead of crashing."""
     import hashlib
 
+    from doc_ocr_spark import staging
+
     target = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
     key = hashlib.md5(target.encode()).hexdigest()[:16]
-    d = f"/tmp/doc_ocr_spark_stream/{key}/events"
+    d = os.path.join(staging.stage_root(), "stream", key, "events")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-000.parquet")
     if os.path.lexists(link):
@@ -43,6 +45,24 @@ def _as_stream_dir(sf_dir: str) -> str:
     else:
         os.symlink(target, link)
     return d
+
+
+def _input_bytes(path: str) -> int:
+    """Total data bytes of a parquet file OR directory of part files.
+    ``os.path.getsize`` on a directory returns the inode size (~4 KB),
+    which would silently pin every windowed-agg stream to the 2-partition
+    floor exactly where the sizing rule should scale the count up
+    (ADVICE r03) — so directories sum their non-hidden data files."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith((".", "_"))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 
 class _state_partitions:
@@ -66,12 +86,9 @@ class _state_partitions:
 
     def __init__(self, spark: SparkSession, sf_dir: str) -> None:
         self.spark = spark
-        try:
-            nbytes = os.path.getsize(
-                os.path.realpath(os.path.join(sf_dir, "events.parquet"))
-            )
-        except OSError:
-            nbytes = 0
+        nbytes = _input_bytes(
+            os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+        )
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.target = max(2, min(cap, nbytes // (32 << 20) + 2))
 

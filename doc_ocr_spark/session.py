@@ -7,6 +7,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _warehouse_dir() -> str:
+    """Local-mode warehouse under the per-user staging root (on a real
+    cluster spark.sql.warehouse.dir comes from --conf at submit time)."""
+    from doc_ocr_spark import staging
+
+    return os.path.join(staging.stage_root(), "warehouse")
+
+
 def get_spark(
     app_name: str = "doc_ocr_spark",
     master: str | None = None,
@@ -45,7 +53,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.warehouse.dir", "/tmp/doc_ocr_spark_warehouse")
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

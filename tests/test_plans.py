@@ -2,6 +2,8 @@
 into the kernel scan, predicate pushdown for partition-date pruning,
 broadcast of small dims, JVM-side (codegen) operator queries."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from doc_ocr_spark.plans import (
@@ -241,7 +243,9 @@ def test_curation_decision_joins_materialized_signals(spark):
 
     plan = explain_str(corpus_curation(spark, "/root/testdata/sf0.001"), "simple")
     assert plan.count("FileScan parquet") == 2, plan
-    assert "doc_ocr_spark_signals" in plan, plan
+    from doc_ocr_spark import staging
+
+    assert os.path.join(staging.stage_root(), "signals") in plan, plan
     assert "WindowGroupLimit" not in plan and "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

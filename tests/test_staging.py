@@ -1,0 +1,142 @@
+"""Staging-root and cache-key discipline (VERDICT r03 'What's wrong #1'
++ ADVICE r03 cache-key items)."""
+
+import os
+import time
+
+import pytest
+
+from doc_ocr_spark import staging
+
+
+def test_stage_root_env_override(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    root = staging.stage_root()
+    assert root == str(tmp_path / "stage")
+    assert os.path.isdir(root)
+
+
+def test_stage_root_default_is_per_user(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    monkeypatch.delenv("XDG_CACHE_HOME", raising=False)
+    root = staging.stage_root()
+    # per-user suffix: another local user cannot pre-plant the path
+    assert str(os.getuid()) in os.path.basename(root)
+
+
+def test_content_key_changes_with_any_part():
+    base = staging.content_key("a", 1, 0.5)
+    assert staging.content_key("a", 1, 0.6) != base
+    assert staging.content_key("b", 1, 0.5) != base
+    assert staging.content_key("a", 1, 0.5) == base  # deterministic
+
+
+def test_file_fingerprint_tracks_content_not_mtime(tmp_path):
+    f = tmp_path / "data.bin"
+    f.write_bytes(b"hello world" * 100)
+    fp1 = staging.file_fingerprint(str(f))
+    # same bytes, new mtime -> same fingerprint (object-store copy case)
+    os.utime(f, (time.time() + 100, time.time() + 100))
+    assert staging.file_fingerprint(str(f)) == fp1
+    # changed bytes, even same size -> different fingerprint
+    f.write_bytes(b"hellO world" * 100)
+    assert staging.file_fingerprint(str(f)) != fp1
+
+
+def test_file_fingerprint_directory_sums_data_files(tmp_path):
+    d = tmp_path / "tbl.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"aaa")
+    (d / "_SUCCESS").write_bytes(b"")  # hidden/meta files ignored
+    fp1 = staging.file_fingerprint(str(d))
+    (d / "part-1").write_bytes(b"bbb")
+    assert staging.file_fingerprint(str(d)) != fp1
+
+
+def test_ensure_staged_builds_once_and_publishes_atomically(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    calls = []
+
+    def build(tmp):
+        calls.append(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "x"), "w") as f:
+            f.write("1")
+
+    p1 = staging.ensure_staged("grp", "k1", build)
+    p2 = staging.ensure_staged("grp", "k1", build)
+    assert p1 == p2 and len(calls) == 1
+    assert ".tmp-" in calls[0] and os.path.isfile(os.path.join(p1, "x"))
+
+
+def test_ensure_staged_sweeps_stale_tmp(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    grp = tmp_path / "grp"
+    grp.mkdir()
+    stale = grp / "old.parquet.tmp-dead"
+    stale.mkdir()
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = grp / "new.parquet.tmp-live"
+    fresh.mkdir()
+
+    def build(tmp):
+        os.makedirs(tmp)
+
+    staging.ensure_staged("grp", "k2", build)
+    assert not stale.exists(), "stale .tmp- leftover must be swept"
+    assert fresh.exists(), "in-flight .tmp- must be left alone"
+
+
+def test_no_hardcoded_tmp_in_operator_modules():
+    """VERDICT r03 item 3 'done' criterion: operator modules must not
+    hard-code /tmp (driver-local — invisible to executors on a real
+    cluster).  Staging goes through doc_ocr_spark.staging."""
+    import doc_ocr_spark
+
+    pkg_dir = os.path.dirname(doc_ocr_spark.__file__)
+    offenders = []
+    for sub in ("operators", "streaming", "sources"):
+        d = os.path.join(pkg_dir, sub)
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".py"):
+                continue
+            with open(os.path.join(d, name)) as f:
+                for i, line in enumerate(f, 1):
+                    code = line.split("#", 1)[0]
+                    if '"/tmp' in code or "'/tmp" in code:
+                        offenders.append(f"{sub}/{name}:{i}")
+    assert not offenders, f"hard-coded /tmp paths: {offenders}"
+
+
+def test_signals_and_pairs_keys_fold_upstream_constants(monkeypatch):
+    """ADVICE r03: changing an upstream constant must invalidate the
+    staged table without a manual VERSION bump.  Exercised on the real
+    key-builders by monkeypatching a constant and asserting the staged
+    path moves."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata absent")
+    from doc_ocr_spark.operators import dedup, sampling
+
+    class _NoBuild:
+        """ensure_staged stub: capture the key, never build."""
+
+        def __init__(self):
+            self.keys = []
+
+        def __call__(self, group, key, build, suffix=".parquet"):
+            self.keys.append((group, key))
+            return f"/dev/null/{group}/{key}"
+
+    cap = _NoBuild()
+    monkeypatch.setattr(staging, "ensure_staged", cap)
+    dedup.minhash_pairs_path(None, sf)
+    monkeypatch.setattr(dedup, "JACCARD_THRESHOLD", 0.77)
+    dedup.minhash_pairs_path(None, sf)
+    assert cap.keys[0] != cap.keys[1], "threshold change must change key"
+
+    sampling.curation_signals_path(None, sf)
+    monkeypatch.setattr(sampling, "CONTAM_MIN", 99)
+    sampling.curation_signals_path(None, sf)
+    assert cap.keys[2] != cap.keys[3], "contam change must change key"
