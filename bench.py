@@ -74,6 +74,7 @@ EXTRA = [
     "orders_status_unpivot",
     "streaming_hourly_agg",
     "streaming_asof_agg",
+    "streaming_dedup",
     "customer_retention_setops",
 ]
 
@@ -88,13 +89,22 @@ def _force(df) -> None:
 def corpus_path(n_docs: int, seed: int = 42) -> str:
     """Cache the generated corpus parquet across runs (generation is
     driver-side Python and would otherwise dominate the measurement)."""
-    path = f"/tmp/doc_ocr_spark_bench/corpus_n{n_docs}_s{seed}.parquet"
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+    from doc_ocr_spark import staging
+
+    def build(tmp: str) -> None:
         from doc_ocr_spark.datagen import write_corpus_parquet
 
-        write_corpus_parquet(path, n_docs, seed=seed)
-    return path
+        write_corpus_parquet(tmp, n_docs, seed=seed)
+
+    return staging.ensure_staged("bench", f"corpus_n{n_docs}_s{seed}", build)
+
+
+def bench_out_dir(name: str) -> str:
+    from doc_ocr_spark import staging
+
+    d = os.path.join(staging.stage_root(), "bench_out", name)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
 
 
 def warm_up(spark) -> None:
@@ -157,12 +167,14 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
     )
-    queries = entrymod.queries()
+    # retired demos stay benchable so the headline basis and the
+    # round-over-round comparisons keep their historical query sets
+    queries = {**entrymod.queries(), **entrymod.retired_queries()}
     times: dict[str, float] = {}
 
     warm_up(spark)
     n_docs = _CORPUS_DOCS.get(sf, 2000)
-    ext = bench_extraction(spark, n_docs, f"/tmp/doc_ocr_spark_bench/out_{cpus}")
+    ext = bench_extraction(spark, n_docs, bench_out_dir(f"out_{cpus}"))
     times["extract_corpus"] = round(ext["sec"], 3)
 
     cold: dict[str, float] = {}
@@ -237,10 +249,11 @@ def compact_line(result: dict) -> str:
         separators=(",", ":"),
     )
     if len(line) > 3500:  # hard stop before the tail-capture hazard
-        line = json.dumps(
-            {k: v for k, v in json.loads(line).items() if k != "queries"},
-            separators=(",", ":"),
-        )
+        slim = {k: v for k, v in json.loads(line).items() if k != "queries"}
+        # explicit marker (ADVICE r03): a consumer must be able to tell
+        # 'truncated for the capture window' from 'no per-query data'
+        slim["queries_truncated"] = True
+        line = json.dumps(slim, separators=(",", ":"))
     return line
 
 

@@ -49,7 +49,12 @@ DIMS = ["nation", "region"]
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/doc_ocr_spark_bench/sf1eq"
+    if len(sys.argv) > 2:
+        out = sys.argv[2]
+    else:
+        from doc_ocr_spark import staging
+
+        out = os.path.join(staging.stage_root(), "bench_out", "sf1eq")
     os.makedirs(out, exist_ok=True)
 
     import duckdb

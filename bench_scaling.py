@@ -47,7 +47,7 @@ cpus = {cpus}
 n_docs = {n_docs}
 spark = get_spark("scaling-bench", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus, 8))
-out_dir = f"/tmp/doc_ocr_spark_bench/scale_{{cpus}}"
+out_dir = bench.bench_out_dir(f"scale_{{cpus}}")
 bench.warm_up(spark)
 # two throwaway passes: the first executions of the kernel+write path
 # pay whole-stage-codegen + C2 JIT compilation, which amortizes to zero

@@ -163,17 +163,27 @@ FROM pris
 ORACLES = {
     "q3_top_shipping": Q3_SQL,
     "customers_without_orders": ANTI_SQL,
-    "revenue_rollup": ROLLUP_SQL,
     "props_json_stats": JSON_SQL,
-    "multi_status_customers": EXCEPT_SQL,
     "order_priority_profile": ARRAY_SQL,
 }
 
 QUERIES = {
     "q3_top_shipping": q3_top_shipping,
     "customers_without_orders": customers_without_orders,
-    "revenue_rollup": revenue_rollup,
     "props_json_stats": props_json_stats,
-    "multi_status_customers": multi_status_customers,
     "order_priority_profile": order_priority_profile,
+}
+
+# Family-redundant demos retired from the driver registry (the harness
+# grades exactly 50 queries — VERDICT r03 item 1): rollup ~ revenue_cube/
+# grouping_sets, EXCEPT set-op ~ customer_retention_setops.  Still
+# oracle-gated by tests/test_entry_parity.py and selfcheck.py.
+RETIRED_ORACLES = {
+    "revenue_rollup": ROLLUP_SQL,
+    "multi_status_customers": EXCEPT_SQL,
+}
+
+RETIRED_QUERIES = {
+    "revenue_rollup": revenue_rollup,
+    "multi_status_customers": multi_status_customers,
 }

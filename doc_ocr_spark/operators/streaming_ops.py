@@ -122,8 +122,101 @@ def streaming_asof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES = {"streaming_hourly_agg": HOURLY_SQL, "streaming_asof_agg": _ASOF_SQL}
+# --------------------------------------------------------------------------
+# Streaming URL dedup gate (VERDICT r03 item 2: the stateful dedup
+# operator was implemented + unit-tested but never driver-graded).
+
+_DEDUP_URL_MOD = 200  # doc_id % MOD -> url key, so sf0.01's 500 docs
+# give ~2.5 duplicate fetches per url and sf0.1's 5000 give ~25
+_PAGES_DERIVE_VERSION = 1
+_PAGES_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _dedup_pages_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a deterministic multi-file pages table with DUPLICATE urls
+    derived from `documents`: url = docs.test/u{doc_id % MOD},
+    warc_ts strictly increasing in doc_id, html = wrapped text.  The
+    file stream source needs a directory of parquet files; the staged
+    table is keyed on the corpus content fingerprint + the derivation
+    constants."""
+    from pyspark.sql import functions as F
+
+    from doc_ocr_spark import staging
+    from doc_ocr_spark.operators import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = staging.content_key(
+        _PAGES_DERIVE_VERSION,
+        staging.file_fingerprint(src),
+        _DEDUP_URL_MOD,
+        _PAGES_EPOCH,
+    )
+
+    def build(tmp: str) -> None:
+        pages = load(spark, sf_dir, "documents").select(
+            F.concat(
+                F.lit("https://docs.test/u"),
+                (F.col("doc_id") % _DEDUP_URL_MOD).cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(_PAGES_EPOCH) + F.col("doc_id")).alias(
+                "warc_ts"
+            ),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ).alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        pages.repartition(4).write.parquet(tmp)
+
+    return staging.ensure_staged("dedup_pages", key, build)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the stateful first-url-wins dedup stream
+    (streaming/dedup.py): one availableNow trigger over the staged
+    duplicate-url pages table.  With no rate limit the trigger is a
+    single micro-batch, so each url group sees every fetch and the
+    emitted representative is the GLOBAL min (warc_ts, n_bytes) — which
+    the batch twin below computes in plain SQL.  warc_ts increases
+    strictly with doc_id, so the representative is simply each url's
+    lowest-doc_id fetch.  (Cross-batch first-wins semantics are covered
+    by tests/test_streaming_ops.py with maxFilesPerTrigger forcing
+    multiple batches.)"""
+    from doc_ocr_spark.streaming.dedup import streaming_dedup_urls
+
+    name = f"stream_dedup_gate_{next(_COUNTER)}"
+    return streaming_dedup_urls(spark, _dedup_pages_dir(spark, sf_dir), query_name=name)
+
+
+STREAM_DEDUP_SQL = f"""
+WITH pages AS (
+  SELECT 'https://docs.test/u' || CAST(doc_id % {_DEDUP_URL_MOD} AS VARCHAR) AS url,
+         doc_id,
+         CAST(octet_length(encode('<html><body><p>' || text || '</p></body></html>')) AS BIGINT) AS n_bytes
+  FROM documents
+),
+r AS (
+  SELECT url, n_bytes,
+         row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+  FROM pages
+)
+SELECT url, n_bytes FROM r WHERE rn = 1
+"""
+
+
+ORACLES = {
+    "streaming_hourly_agg": HOURLY_SQL,
+    "streaming_asof_agg": _ASOF_SQL,
+    "streaming_dedup": STREAM_DEDUP_SQL,
+}
 QUERIES = {
     "streaming_hourly_agg": streaming_hourly_agg,
     "streaming_asof_agg": streaming_asof_agg,
+    "streaming_dedup": streaming_dedup,
 }

@@ -47,10 +47,12 @@ def main() -> None:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    oracles = entrymod.oracle_sql()
+    oracles = {**entrymod.oracle_sql(), **entrymod.retired_oracle_sql()}
+    registered = entrymod.queries()
+    all_queries = {**registered, **entrymod.retired_queries()}
     results: dict[str, dict] = {}
     t_start = time.monotonic()
-    for name, q in entrymod.queries().items():
+    for name, q in all_queries.items():
         row: dict = {
             "rows_match": False,
             "schema_match": False,
@@ -58,6 +60,7 @@ def main() -> None:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            "registered": name in registered,
         }
         try:
             spdf = q(spark, sf_dir).toPandas()

@@ -73,16 +73,35 @@ def _canon_pdf(pdf: "pd.DataFrame"):
     )
 
 
-QUERY_NAMES = sorted(entrymod.queries().keys())
+# Registered AND retired queries stay under the same gate: retirement
+# (fitting the driver's 50-slot budget) must never drop a parity check.
+def _all_queries():
+    return {**entrymod.queries(), **entrymod.retired_queries()}
+
+
+def _all_oracles():
+    return {**entrymod.oracle_sql(), **entrymod.retired_oracle_sql()}
+
+
+QUERY_NAMES = sorted(_all_queries().keys())
+
+
+def test_registry_fits_driver_budget():
+    """The driver grades exactly 50 queries; every registered entry must
+    get a CORRECTNESS row (VERDICT r03 item 1)."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50, f"registry over the 50-slot budget: {len(qs)}"
+    # no name may be both registered and retired
+    assert not set(qs) & set(entrymod.retired_queries())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
-    q = entrymod.queries()[name]
+    q = _all_queries()[name]
     sdf = q(spark, SF_DIR)
     spdf = sdf.toPandas()
     scols = list(spdf.columns)
-    oracle = entrymod.oracle_sql().get(name)
+    oracle = _all_oracles().get(name)
     if oracle is None:
         # rows-only contract: runs, returns rows, stable schema — but the
         # cells must still be driver-canon-safe scalars.
