@@ -293,17 +293,28 @@ def frame_sample(samples: np.ndarray, every_n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Video: stub (no codec in environment)
+# Video: MJPEG-in-AVI (real container + real per-frame JPEG decode —
+# core/avi.py over core/jpeg.py, no external codec library needed),
+# plus the deterministic fake format kept for plumbing tests.
 
 
-def decode_video(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """Real video decode requires a codec library not present in this
-    environment.  The Spark plumbing (schema, batching, partitioning) is
-    exercised via ``fake_video_frames``; a real decoder drops in here
-    with the same (payload) -> (n_frames, h, w, 3) contract."""
-    raise NotImplementedError(
-        "video decode requires an external codec library (not in this "
-        "environment); use fake_video_frames for plumbing tests"
+def decode_video(payload: bytes) -> np.ndarray:
+    """Magic-dispatched video decode -> (n_frames, h, w, 3) uint8.
+
+    RIFF/AVI payloads take the real Motion-JPEG path (container walk +
+    per-frame baseline JPEG decode); ``FVID`` payloads take the legacy
+    deterministic fake format (plumbing tests).  Other containers
+    (MP4/H.264 etc.) genuinely need an external codec and raise
+    ValueError naming the container."""
+    from doc_ocr_spark.core.avi import decode_avi_mjpeg, is_avi
+
+    if is_avi(payload):
+        return decode_avi_mjpeg(payload)
+    if payload.startswith(FAKE_VIDEO_MAGIC):
+        return fake_video_frames(payload)
+    raise ValueError(
+        f"unsupported video container (magic {payload[:4]!r}); "
+        "supported: RIFF/AVI with MJPEG frames"
     )
 
 

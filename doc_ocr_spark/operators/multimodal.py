@@ -4,9 +4,9 @@ pandas kernels (``mapInPandas`` — never per-row Python UDFs).
 The media table is synthesized deterministically (no external data):
 ``(media_id, kind, payload binary, fmt, meta...)`` with real PNG images
 (from-scratch stdlib-zlib codec, filters 0-4), legacy PPM every 4th
-image, real WAV audio, plus fake-format video payloads exercising the
-same plumbing as a real codec would (decode_video itself is
-NotImplementedError by policy — no codec libs in this environment).
+image, real WAV audio, and real MJPEG-in-AVI video (RIFF container +
+per-frame baseline JPEG, both from scratch — core/avi.py, core/jpeg.py;
+no external codec libraries involved).
 
 Scale notes: payloads ride the same salted url/media-id hash bucketing
 as html blobs; decode kernels are per-batch numpy; Arrow's
@@ -58,7 +58,9 @@ def _synth_raw(i: int, seed: int = SEED) -> dict:
         return {"kind": kind, "samples": samples, "sr": sr}
     n_frames = 4 + int(rng.integers(0, 4))
     vrng = np.random.default_rng((seed << 8) ^ i)
-    frames = vrng.integers(0, 256, size=(n_frames, 8, 8, 3), dtype=np.uint8)
+    # 16x16 frames: one full 4:2:0 MCU, so both MJPEG wire variants
+    # (444 single-segment / 420 + restart markers) are exercisable
+    frames = vrng.integers(0, 256, size=(n_frames, 16, 16, 3), dtype=np.uint8)
     return {"kind": kind, "frames": frames}
 
 
@@ -75,6 +77,15 @@ def _jpeg_opts(i: int) -> dict:
     builder and the expected-row recomputation (same bytes on both
     sides)."""
     return {"subsampling": "420", "restart_interval": 2} if (i // 12) % 2 else {}
+
+
+def _video_jpeg_opts(i: int) -> dict:
+    """Per-video-item MJPEG frame variant: every second video item
+    (video ordinal v = i // 3, videos fall on i % 3 == 2) carries the
+    4:2:0 + restart-interval wire so the container path decodes both
+    JPEG shapes.  Shared by the corpus builder and the expected-row
+    recomputation."""
+    return {"subsampling": "420", "restart_interval": 2} if (i // 3) % 2 else {}
 
 
 def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
@@ -98,7 +109,12 @@ def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
         elif kind == "audio":
             payload, fmt = M.encode_wav_pcm16(raw["samples"], raw["sr"]), "wav"
         else:
-            payload, fmt = M.encode_fake_video_frames(raw["frames"]), "fake-video"
+            from doc_ocr_spark.core.avi import encode_avi_mjpeg
+
+            payload = encode_avi_mjpeg(
+                raw["frames"], JPEG_QUALITY, **_video_jpeg_opts(i)
+            )
+            fmt = "mjpeg-avi"
         rows.append({"media_id": i, "kind": kind, "fmt": fmt, "payload": payload})
     return rows
 
@@ -106,8 +122,8 @@ def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
 MEDIA_SCHEMA = "media_id long, kind string, fmt string, payload binary"
 _MEDIA_PART_FILES = 8  # part files in the materialized table
 # bump whenever a codec/corpus change alters payload bytes — the cache
-# key must change or a stale /tmp table would poison the parity gates
-MEDIA_GEN_VERSION = 3
+# key must change or a stale staged table would poison the parity gates
+MEDIA_GEN_VERSION = 4  # v4: video = real MJPEG/AVI, 16x16 frames
 
 
 def media_table_path(n: int = N_MEDIA, seed: int = SEED) -> str:
@@ -365,13 +381,10 @@ def _video_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-            payload = bytes(payload)
-            # real codec path is NotImplementedError by policy; the fake
-            # format exercises identical plumbing (schema/batch shape)
-            if payload.startswith(M.FAKE_VIDEO_MAGIC):
-                frames = M.fake_video_frames(payload)
-            else:
-                frames = M.decode_video(payload)  # raises: no codec here
+            # real decode: RIFF/AVI container walk + per-frame baseline
+            # JPEG (core/avi.py); the FVID fake format stays accepted
+            # for plumbing tests
+            frames = M.decode_video(bytes(payload))
             sampled = frames[::2]
             out.append(
                 {
@@ -387,13 +400,22 @@ def _video_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample 'video' payloads (deterministic fake format; real
-    decode is a NotImplementedError stub pending a codec library)."""
+    """Decode REAL MJPEG/AVI video payloads (RIFF container walk +
+    per-frame baseline JPEG via the from-scratch codecs in core/avi.py
+    and core/jpeg.py) and sample every 2nd frame."""
     vids = media_df(spark).filter(F.col("kind") == "video").select("media_id", "payload")
     return vids.mapInPandas(_video_kernel, VIDEO_SCHEMA)
 
 
 def _expected_video_rows() -> list[dict]:
+    """Independent sequential recomputation.  MJPEG is LOSSY, so frame
+    pixels come from the sequential decode of each frame's OWN JPEG
+    round-trip (same golden discipline as the JPEG still images; the
+    codec itself is unit-tested in tests/test_jpeg.py) — but WITHOUT
+    touching the AVI container code: the Spark side must walk the real
+    container to reach the same bytes."""
+    from doc_ocr_spark.core.jpeg import decode_jpeg, encode_jpeg
+
     rows = []
     for i in range(N_MEDIA):
         raw = _synth_raw(i)
@@ -401,15 +423,21 @@ def _expected_video_rows() -> list[dict]:
             continue
         frames = raw["frames"]
         nf = frames.shape[0]
-        total = int(frames.sum())
+        opts = _video_jpeg_opts(i)
+        dec = [
+            decode_jpeg(encode_jpeg(frames[k], JPEG_QUALITY, **opts))
+            for k in range(nf)
+        ]
+        total = sum(int(d.sum()) for d in dec)
+        size = sum(d.size for d in dec)
         rows.append(
             {
                 "media_id": i,
                 "n_frames": nf,
-                "frame_h": 8,
-                "frame_w": 8,
+                "frame_h": 16,
+                "frame_w": 16,
                 "sampled_frames": (nf + 1) // 2,
-                "mean_px": round(total / frames.size, 4),
+                "mean_px": round(total / size, 4),
             }
         )
     return rows

@@ -200,3 +200,97 @@ def test_jpeg_truncated_segment_is_valueerror():
 def test_jpeg_fill_bytes_to_eof_is_valueerror():
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xff\xff")
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG container interop (VERDICT r03 item 4): foreign-structured
+# RIFF files the repo's own encoder NEVER emits — encode_avi_mjpeg
+# always writes hdrl(avih+strl) + one flat movi of '00dc' chunks + idx1.
+# These vectors use a JUNK chunk, 'rec ' grouping LISTs, '00db' frame
+# ids, stream number '01', an odd-sized chunk with pad byte, and NO
+# idx1 at all.
+
+from doc_ocr_spark.core.avi import decode_avi_mjpeg, encode_avi_mjpeg, is_avi
+
+
+def _riff_chunk(ckid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return ckid + struct.pack("<I", len(body)) + body + pad
+
+
+def _foreign_avi(frame_payloads: list[bytes], wrap_rec: bool, ckid: bytes) -> bytes:
+    """Minimal foreign writer: JUNK before movi, optional 'rec ' LIST
+    wrapping, foreign frame ckid, no hdrl detail beyond avih, no idx1."""
+    avih = _riff_chunk(b"avih", struct.pack("<14I", *([0] * 14)))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + avih)
+    junk = _riff_chunk(b"JUNK", b"\xab" * 7)  # odd size -> pad byte
+    frames = b"".join(_riff_chunk(ckid, p) for p in frame_payloads)
+    if wrap_rec:
+        frames = _riff_chunk(b"LIST", b"rec " + frames)
+    movi = _riff_chunk(b"LIST", b"movi" + junk + frames)
+    body = b"AVI " + hdrl + junk + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mjpeg_frames(n: int, seed: int = 3) -> tuple[np.ndarray, list[bytes]]:
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, size=(n, 16, 16, 3), dtype=np.uint8)
+    return fr, [encode_jpeg(fr[k], 85) for k in range(n)]
+
+
+def test_avi_foreign_layout_rec_lists_and_00db():
+    fr, payloads = _mjpeg_frames(4)
+    for wrap_rec in (False, True):
+        for ckid in (b"00dc", b"00db", b"01dc"):
+            avi = _foreign_avi(payloads, wrap_rec, ckid)
+            got = decode_avi_mjpeg(avi)
+            ref = np.stack([decode_jpeg(p) for p in payloads])
+            assert np.array_equal(got, ref), (wrap_rec, ckid)
+
+
+def test_avi_odd_sized_frame_chunk_pad_byte():
+    # force an odd-length frame payload by appending a fill byte the
+    # JPEG scanner tolerates before EOI handling (trailing garbage
+    # after EOI is ignored by decode_jpeg's marker walk)
+    fr, payloads = _mjpeg_frames(3)
+    padded = [p + b"\x00" if len(p) % 2 == 0 else p for p in payloads]
+    avi = _foreign_avi(padded, False, b"00dc")
+    got = decode_avi_mjpeg(avi)
+    ref = np.stack([decode_jpeg(p) for p in payloads])
+    assert np.array_equal(got, ref)
+
+
+def test_avi_roundtrip_both_jpeg_variants():
+    fr, _ = _mjpeg_frames(5)
+    for opts in ({}, {"subsampling": "420", "restart_interval": 2}):
+        dec = decode_avi_mjpeg(encode_avi_mjpeg(fr, 90, **opts))
+        ref = np.stack([decode_jpeg(encode_jpeg(fr[k], 90, **opts)) for k in range(5)])
+        assert np.array_equal(dec, ref)
+
+
+def test_avi_malformed_is_valueerror():
+    assert not is_avi(b"RIFX1234AVI ")
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_mjpeg(b"\x89PNG\r\n\x1a\nnope")
+    # RIFF/WAVE is RIFF but not AVI
+    wav = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_mjpeg(wav)
+    # AVI with an empty movi
+    empty = _foreign_avi([], False, b"00dc")
+    with pytest.raises(ValueError, match="no movi frames"):
+        decode_avi_mjpeg(empty)
+    # truncated chunk header inside movi
+    fr, payloads = _mjpeg_frames(1)
+    avi = _foreign_avi(payloads, False, b"00dc")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_mjpeg(avi[:-10])
+
+
+def test_avi_inconsistent_frame_dims_is_valueerror():
+    rng = np.random.default_rng(5)
+    a = encode_jpeg(rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), 85)
+    b = encode_jpeg(rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8), 85)
+    avi = _foreign_avi([a, b], False, b"00dc")
+    with pytest.raises(ValueError, match="dims"):
+        decode_avi_mjpeg(avi)

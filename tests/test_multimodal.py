@@ -100,13 +100,25 @@ def test_wav_roundtrip_and_features():
     assert feats["rms"] > 0
 
 
-def test_video_decode_is_stubbed_fake_works():
-    with pytest.raises(NotImplementedError):
+def test_video_decode_dispatch():
+    """RIFF/AVI takes the real MJPEG path; FVID stays accepted for
+    plumbing tests; genuinely unsupported containers raise ValueError
+    naming the magic."""
+    with pytest.raises(ValueError, match="unsupported video container"):
         M.decode_video(b"\x00\x01realvideo")
     payload = M.encode_fake_video(5, 4, 6, seed=7)
     frames = M.fake_video_frames(payload)
     assert frames.shape == (5, 4, 6, 3)
-    assert np.array_equal(frames, M.fake_video_frames(payload))
+    assert np.array_equal(frames, M.decode_video(payload))
+
+    from doc_ocr_spark.core.avi import encode_avi_mjpeg
+    from doc_ocr_spark.core.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    fr = rng.integers(0, 256, size=(3, 16, 16, 3), dtype=np.uint8)
+    dec = M.decode_video(encode_avi_mjpeg(fr, 90))
+    ref = np.stack([decode_jpeg(encode_jpeg(fr[k], 90)) for k in range(3)])
+    assert np.array_equal(dec, ref)
 
 
 def test_synth_media_deterministic():
@@ -145,6 +157,6 @@ def test_video_kernel_plumbing(spark):
     got = mm.video_frame_sample(spark, "").collect()
     assert len(got) > 0
     for g in got:
-        assert g.frame_h == 8 and g.frame_w == 8
+        assert g.frame_h == 16 and g.frame_w == 16
         assert g.sampled_frames == (g.n_frames + 1) // 2
         assert 0.0 <= g.mean_px <= 255.0
