@@ -459,6 +459,127 @@ def minhash_pairs_path(spark: SparkSession, sf_dir: str) -> str:
     return staging.ensure_staged("pairs", key, build)
 
 
+def propagate_min_labels(
+    pairs: DataFrame, max_rounds: int = 30, doubling: bool | None = None
+) -> tuple[DataFrame, int]:
+    """Pregel-style min-label propagation to fixpoint over an undirected
+    pair graph.  Returns ``(labels(doc_id, cluster_id), n_rounds)``.
+
+    Each round: label = min(own, neighbours') over fully distributed
+    joins; the round count is bounded by the largest component's
+    DIAMETER.  For near-dup graphs (perturbed cliques) the measured
+    diameter is 1-2 — at sf1eq the 501k-edge graph converges in 2
+    rounds — so simple propagation is the default.  The adversarial
+    chain fixture (tests/test_dedup_ops.py) measures ~100% of a
+    high-diameter graph's cost as round count x fixed per-round
+    overhead, so ``doubling=True`` (env ``SPARK_GRAFT_CC_DOUBLING=1``)
+    adds a pointer-jumping shortcut — label(d) = min(label(d),
+    label(label(d))), one extra self-join per round — collapsing the
+    round count from O(diameter) to O(log diameter).  Keep it OFF for
+    clique-shaped dedup graphs: at diameter 1-2 both variants take 2-3
+    rounds and the shortcut join is pure overhead (measured in the
+    fixture; BENCH/BASELINE.md finding #24).  Non-convergence raises
+    instead of silently truncating: a truncated propagation would split
+    real clusters and let multiple keepers survive dedup.
+
+    Per-round discipline: `updated` is materialized with an EAGER
+    ``localCheckpoint`` — not a bare persist.  Each round references the
+    previous labels TWICE (neighbour-min + the hop join), so a persist
+    (which caches execution but keeps the full logical plan) doubles the
+    plan tree every round: 2^rounds plan nodes, a driver OOM at ~13
+    rounds — found by this module's high-diameter chain fixture.  The
+    checkpoint truncates lineage to a LogicalRDD each round, keeping
+    plan size O(1) in rounds; the convergence probe rides the SAME
+    materializing action via Observation (one job per round).  Old
+    rounds' checkpoint blocks are dereferenced each iteration and freed
+    by the context cleaner.
+    """
+    import os
+
+    from pyspark.sql import Observation
+
+    if doubling is None:
+        doubling = os.environ.get("SPARK_GRAFT_CC_DOUBLING", "") == "1"
+    # undirected edge list, cached: every iteration joins against it
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)  # materialize round 0, flat plan
+    )
+    converged = False
+    rounds = 0
+    for rnd in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_label = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+        )
+        hopped = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            new_label.alias("cluster_id"),
+        )
+        if doubling:
+            # pointer jumping: follow the label one more step —
+            # cluster_id values are themselves doc_ids in `labels`, so
+            # label(label(d)) is an inner self-join on the hop result
+            parent = hopped.select(
+                F.col("doc_id").alias("p_id"),
+                F.col("cluster_id").alias("p_cluster"),
+            )
+            hopped = (
+                hopped.join(parent, hopped.cluster_id == parent.p_id)
+                .select(
+                    "doc_id",
+                    "old_cluster_id",
+                    F.least("cluster_id", "p_cluster").alias("cluster_id"),
+                )
+            )
+        obs = Observation(f"cc_round_{rnd}")
+        updated = (
+            hopped.select(
+                "doc_id",
+                "cluster_id",
+                (F.col("cluster_id") < F.col("old_cluster_id")).alias("_changed"),
+            )
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n_changed"))
+            # eager: one job materializes the round, fires the
+            # observation, and truncates lineage (see docstring)
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["n_changed"] or 0
+        labels = updated  # old round's blocks freed by context cleaner
+        rounds = rnd + 1
+        if changed == 0:
+            converged = True
+            break
+    labels = labels.drop("_changed")
+    edges.unpersist()
+    if not converged:
+        # silent truncation would split real clusters (multiple keepers
+        # survive dedup) — fail loudly instead
+        raise RuntimeError(
+            "propagate_min_labels: label propagation did not converge "
+            f"within {max_rounds} rounds; raise the bound for this graph"
+        )
+    return labels, rounds
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution — the step after pair generation in a
     real dedup pipeline: connected components over the LSH-verified
@@ -482,67 +603,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(minhash_pairs_path(spark, sf_dir))
         .select("doc_a", "doc_b")
     )
-    # undirected edge list, cached: every iteration joins against it
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
-    )
-    labels.count()  # materialize round 0
-    converged = False
-    from pyspark.sql import Observation
-
-    for rnd in range(30):  # >= worst-case component diameter at this SF
-        neigh = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(edges.doc_a.alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        # persist each round: the convergence check and the next round
-        # both consume `updated`; without it every round replays the
-        # whole iterative lineage (O(rounds^2)) and the plan grows
-        # unboundedly — the standard Pregel-on-DataFrames discipline.
-        # The convergence probe rides the SAME materializing action via
-        # Observation (VERDICT r02 item 7): one job per round, not a
-        # materialize + probe-join pair.
-        new_label = F.least(
-            F.col("cluster_id"),
-            F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
-        )
-        obs = Observation(f"cc_round_{rnd}")
-        updated = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                new_label.alias("new_cluster_id"),
-                (new_label < F.col("cluster_id")).alias("_changed"),
-            )
-            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n_changed"))
-            .select("doc_id", F.col("new_cluster_id").alias("cluster_id"), "_changed")
-            .persist()
-        )
-        updated.count()  # materialize + fire the observation
-        changed = obs.get["n_changed"] or 0
-        labels.unpersist()
-        labels = updated
-        if changed == 0:
-            converged = True
-            break
-    labels = labels.drop("_changed")
-    edges.unpersist()
-    if not converged:
-        # silent truncation would split real clusters (multiple keepers
-        # survive dedup) — fail loudly instead
-        raise RuntimeError(
-            "dedup_clusters: label propagation did not converge within "
-            "the round budget; raise the bound for this graph"
-        )
+    labels, _ = propagate_min_labels(pairs)
     keepers = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("keep_id"))
     return labels.join(keepers, "cluster_id").select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("keep_id")).alias("is_keeper")

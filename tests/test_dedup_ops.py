@@ -116,3 +116,75 @@ def test_jaccard_df_cap_mirrored_by_oracle(spark, tmp_path):
     )
     oracle_rows = set(map(tuple, con.sql(D.JACCARD_SQL).fetchall()))
     assert spark_rows == oracle_rows
+
+
+def test_cc_high_diameter_chain_converges(spark):
+    """Adversarial fixture (VERDICT r03 item 5): near-dup graphs are
+    cliques (diameter 1-2), but the propagation must also close a
+    PATH graph — diameter 6 here, so label 0 needs 6 rounds to reach
+    the far end plus one confirming round.  Asserts both the fixpoint
+    and the exact round count (the cost model pointer-doubling would
+    amortize)."""
+    import time
+
+    from doc_ocr_spark.operators.dedup import propagate_min_labels
+
+    chain = spark.createDataFrame(
+        [(k, k + 1) for k in range(6)], "doc_a long, doc_b long"
+    )
+    t0 = time.monotonic()
+    labels, rounds = propagate_min_labels(chain)
+    wall = time.monotonic() - t0
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {k: 0 for k in range(7)}, got
+    assert rounds == 7, f"diameter-6 chain should take 6+1 rounds, got {rounds}"
+    # keep the per-round cost visible when -s is passed (BASELINE note)
+    print(f"\nchain cc: {rounds} rounds in {wall:.1f}s = {wall/rounds:.2f}s/round")
+
+
+def test_cc_two_components_and_isolated_pairs(spark):
+    from doc_ocr_spark.operators.dedup import propagate_min_labels
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "doc_a long, doc_b long"
+    )
+    labels, rounds = propagate_min_labels(edges)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert rounds <= 3
+
+
+def test_cc_nonconvergence_raises_loudly(spark):
+    from doc_ocr_spark.operators.dedup import propagate_min_labels
+
+    chain = spark.createDataFrame(
+        [(k, k + 1) for k in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(chain, max_rounds=3)
+
+
+def test_cc_pointer_doubling_same_labels_fewer_rounds(spark):
+    """SPARK_GRAFT_CC_DOUBLING adds the pointer-jumping shortcut:
+    identical fixpoint, O(log diameter) rounds on the chain."""
+    import time
+
+    from doc_ocr_spark.operators.dedup import propagate_min_labels
+
+    chain = spark.createDataFrame(
+        [(k, k + 1) for k in range(12)], "doc_a long, doc_b long"
+    )
+    t0 = time.monotonic()
+    plain, r_plain = propagate_min_labels(chain, doubling=False)
+    t1 = time.monotonic()
+    doubled, r_doubled = propagate_min_labels(chain, doubling=True)
+    t2 = time.monotonic()
+    want = {k: 0 for k in range(13)}
+    assert {r.doc_id: r.cluster_id for r in plain.collect()} == want
+    assert {r.doc_id: r.cluster_id for r in doubled.collect()} == want
+    assert r_plain == 13  # diameter 12 + confirm round
+    assert r_doubled < r_plain / 2, (r_plain, r_doubled)
+    print(
+        f"\nchain-12 cc: plain {r_plain} rounds {t1-t0:.1f}s, "
+        f"doubling {r_doubled} rounds {t2-t1:.1f}s"
+    )
