@@ -128,7 +128,7 @@ def streaming_asof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_URL_MOD = 200  # doc_id % MOD -> url key, so sf0.01's 500 docs
 # give ~2.5 duplicate fetches per url and sf0.1's 5000 give ~25
-_PAGES_DERIVE_VERSION = 1
+_PAGES_DERIVE_VERSION = 2  # v2: files range-partitioned by warc_ts
 _PAGES_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
 
 
@@ -172,7 +172,12 @@ def _dedup_pages_dir(spark: SparkSession, sf_dir: str) -> str:
             F.lit(None).cast("string").alias("text"),
             F.lit(None).cast("string").alias("lang"),
         )
-        pages.repartition(4).write.parquet(tmp)
+        # range-partition by warc_ts so the earliest fetch of every url
+        # sits in the earliest file: the emitted representative is then
+        # the global min whether the availableNow trigger runs one batch
+        # (observed default: no rate limit -> allAvailable) or the
+        # source ever splits batches in file order
+        pages.repartitionByRange(4, "warc_ts").write.parquet(tmp)
 
     return staging.ensure_staged("dedup_pages", key, build)
 
