@@ -44,9 +44,14 @@ def encode_avi_mjpeg(
     frames: np.ndarray,
     quality: int = 90,
     fps: int = 10,
+    audio: np.ndarray | None = None,
+    audio_rate: int = 8000,
     **jpeg_opts,
 ) -> bytes:
-    """(n, h, w, 3) uint8 -> AVI bytes with one MJPEG video stream.
+    """(n, h, w, 3) uint8 -> AVI bytes with one MJPEG video stream and,
+    when ``audio`` (mono int16 samples) is given, an interleaved PCM
+    audio stream (``01wb`` chunks, one slice per video frame — the
+    standard interleave).
 
     ``jpeg_opts`` pass through to :func:`encode_jpeg` (subsampling,
     restart_interval), so the per-frame wire exercises the same JPEG
@@ -65,7 +70,7 @@ def encode_avi_mjpeg(
         _AVIF_HASINDEX,  # dwFlags
         n,  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        2 if audio is not None else 1,  # dwStreams
         max_sz,  # dwSuggestedBufferSize
         w,
         h,
@@ -98,23 +103,60 @@ def encode_avi_mjpeg(
         w * h * 3,  # biSizeImage
         0, 0, 0, 0,
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
+    strl_v = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+
+    strl_a = b""
+    audio_slices: list[bytes] = []
+    if audio is not None:
+        pcm = np.asarray(audio, dtype="<i2")
+        per = (len(pcm) + n - 1) // n  # samples per video frame slice
+        audio_slices = [
+            pcm[k * per : (k + 1) * per].tobytes() for k in range(n)
+        ]
+        strh_a = struct.pack(
+            "<4s4sI2H8I4h",
+            b"auds",
+            b"\x00\x00\x00\x00",
+            0,
+            0, 0,
+            0,
+            1,  # dwScale (1 sample)
+            audio_rate,  # dwRate
+            0,
+            len(pcm),  # dwLength in samples
+            per * 2,
+            0xFFFFFFFF & -1,
+            2,  # dwSampleSize (bytes per sample block)
+            0, 0, 0, 0,
+        )
+        # WAVEFORMATEX, cbSize omitted (16-byte PCM form)
+        strf_a = struct.pack(
+            "<2H2I2H",
+            1,  # wFormatTag = WAVE_FORMAT_PCM
+            1,  # nChannels
+            audio_rate,
+            audio_rate * 2,  # nAvgBytesPerSec
+            2,  # nBlockAlign
+            16,  # wBitsPerSample
+        )
+        strl_a = _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a))
+
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl_v + strl_a)
     movi_body = b"movi"
     idx_entries = []
-    for p in payloads:
+    for k, p in enumerate(payloads):
         # idx1 offsets are relative to the start of the 'movi' list type
-        idx_entries.append((len(movi_body) - 4, len(p)))
+        idx_entries.append((b"00dc", len(movi_body) - 4, len(p)))
         movi_body += _chunk(b"00dc", p)
+        if audio_slices and audio_slices[k]:
+            idx_entries.append((b"01wb", len(movi_body) - 4, len(audio_slices[k])))
+            movi_body += _chunk(b"01wb", audio_slices[k])
     movi = _chunk(b"LIST", movi_body)
     idx1 = _chunk(
         b"idx1",
         b"".join(
-            b"00dc" + struct.pack("<3I", _AVIIF_KEYFRAME, off, sz)
-            for off, sz in idx_entries
+            ckid + struct.pack("<3I", _AVIIF_KEYFRAME, off, sz)
+            for ckid, off, sz in idx_entries
         ),
     )
     riff_body = b"AVI " + hdrl + movi + idx1
@@ -145,6 +187,63 @@ def _collect_frames(buf: bytes, pos: int, end: int, out: list) -> None:
         elif ckid[2:4] in (b"dc", b"db") and ckid[:2].isdigit():
             out.append((body, size))
         # anything else inside movi (JUNK, subtitle streams) is skipped
+
+
+def _audio_stream_info(payload: bytes, end: int) -> tuple[int, int] | None:
+    """(stream_ordinal, sample_rate) of the first 'auds' stream, from
+    the hdrl stream list; None when the file has no audio stream."""
+    for ckid, body, size in _walk_chunks(payload, 12, end):
+        if ckid != b"LIST" or payload[body : body + 4] != b"hdrl":
+            continue
+        ordinal = -1
+        for ck2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+            if ck2 != b"LIST" or payload[b2 : b2 + 4] != b"strl":
+                continue
+            ordinal += 1
+            fcc_type = None
+            for ck3, b3, s3 in _walk_chunks(payload, b2 + 4, b2 + s2):
+                if ck3 == b"strh":
+                    fcc_type = payload[b3 : b3 + 4]
+                elif ck3 == b"strf" and fcc_type == b"auds":
+                    tag, nch, rate, _, _, bits = struct.unpack_from(
+                        "<2H2I2H", payload, b3
+                    )
+                    if tag != 1 or nch != 1 or bits != 16:
+                        raise ValueError(
+                            f"unsupported AVI audio (tag={tag} ch={nch} bits={bits}); "
+                            "only mono PCM16"
+                        )
+                    return ordinal, rate
+    return None
+
+
+def _collect_audio(buf: bytes, pos: int, end: int, ckid_want: bytes, out: list) -> None:
+    for ckid, body, size in _walk_chunks(buf, pos, end):
+        if ckid == b"LIST" and buf[body : body + 4] == b"rec ":
+            _collect_audio(buf, body + 4, body + size, ckid_want, out)
+        elif ckid == ckid_want:
+            out.append((body, size))
+
+
+def decode_avi_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes -> (mono int16 samples, sample_rate) from the first
+    'auds' stream's interleaved ``NNwb`` chunks.  Raises ValueError on
+    a non-AVI payload or a file without an audio stream."""
+    if not is_avi(payload):
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    info = _audio_stream_info(payload, end)
+    if info is None:
+        raise ValueError("AVI has no audio stream")
+    ordinal, rate = info
+    want = b"%02dwb" % ordinal
+    spans: list[tuple[int, int]] = []
+    for ckid, body, size in _walk_chunks(payload, 12, end):
+        if ckid == b"LIST" and payload[body : body + 4] == b"movi":
+            _collect_audio(payload, body + 4, body + size, want, spans)
+    pcm = b"".join(payload[b : b + s] for b, s in spans)
+    return np.frombuffer(pcm, dtype="<i2"), rate
 
 
 def decode_avi_mjpeg(payload: bytes) -> np.ndarray:

@@ -61,7 +61,11 @@ def _synth_raw(i: int, seed: int = SEED) -> dict:
     # 16x16 frames: one full 4:2:0 MCU, so both MJPEG wire variants
     # (444 single-segment / 420 + restart markers) are exercisable
     frames = vrng.integers(0, 256, size=(n_frames, 16, 16, 3), dtype=np.uint8)
-    return {"kind": kind, "frames": frames}
+    # interleaved mono PCM16 track (one slice per frame in the AVI) —
+    # real videos carry audio; the video FEATURE oracle reads only the
+    # frames, audio round-trip is unit-tested (test_multimodal.py)
+    track = (2000 * np.sin(np.arange(n_frames * 800) / 23.0)).astype(np.int16)
+    return {"kind": kind, "frames": frames, "audio": track}
 
 
 JPEG_QUALITY = 90
@@ -112,7 +116,11 @@ def synth_media_rows(n: int = N_MEDIA, seed: int = SEED) -> list[dict]:
             from doc_ocr_spark.core.avi import encode_avi_mjpeg
 
             payload = encode_avi_mjpeg(
-                raw["frames"], JPEG_QUALITY, **_video_jpeg_opts(i)
+                raw["frames"],
+                JPEG_QUALITY,
+                audio=raw["audio"],
+                audio_rate=8000,
+                **_video_jpeg_opts(i),
             )
             fmt = "mjpeg-avi"
         rows.append({"media_id": i, "kind": kind, "fmt": fmt, "payload": payload})
@@ -123,7 +131,7 @@ MEDIA_SCHEMA = "media_id long, kind string, fmt string, payload binary"
 _MEDIA_PART_FILES = 8  # part files in the materialized table
 # bump whenever a codec/corpus change alters payload bytes — the cache
 # key must change or a stale staged table would poison the parity gates
-MEDIA_GEN_VERSION = 4  # v4: video = real MJPEG/AVI, 16x16 frames
+MEDIA_GEN_VERSION = 5  # v5: AVI video carries interleaved PCM audio
 
 
 def media_table_path(n: int = N_MEDIA, seed: int = SEED) -> str:

@@ -294,3 +294,37 @@ def test_avi_inconsistent_frame_dims_is_valueerror():
     avi = _foreign_avi([a, b], False, b"00dc")
     with pytest.raises(ValueError, match="dims"):
         decode_avi_mjpeg(avi)
+
+
+def test_avi_interleaved_audio_stream():
+    """'01wb' PCM audio interleaved with the video frames: bit-exact
+    audio round-trip, video decode unaffected, audio-less files raise."""
+    from doc_ocr_spark.core.avi import decode_avi_audio
+
+    fr, _ = _mjpeg_frames(5)
+    audio = (2500 * np.sin(np.arange(4001) / 17.0)).astype(np.int16)
+    avi = encode_avi_mjpeg(fr, 90, audio=audio, audio_rate=8000)
+    samples, rate = decode_avi_audio(avi)
+    assert rate == 8000 and np.array_equal(samples, audio)
+    assert np.array_equal(decode_avi_mjpeg(avi), decode_avi_mjpeg(encode_avi_mjpeg(fr, 90)))
+    with pytest.raises(ValueError, match="no audio stream"):
+        decode_avi_audio(encode_avi_mjpeg(fr, 90))
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_audio(b"nope")
+
+
+def test_avi_foreign_audio_chunks_do_not_confuse_frame_walk():
+    # foreign layout: audio-style '01wb' chunks interleaved in movi with
+    # no hdrl audio declaration — frame collection must skip them
+    fr, payloads = _mjpeg_frames(3)
+    avih = _riff_chunk(b"avih", struct.pack("<14I", *([0] * 14)))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + avih)
+    body = b""
+    for p in payloads:
+        body += _riff_chunk(b"00dc", p) + _riff_chunk(b"01wb", b"\x01\x02" * 33)
+    movi = _riff_chunk(b"LIST", b"movi" + body)
+    riff_body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    got = decode_avi_mjpeg(avi)
+    ref = np.stack([decode_jpeg(p) for p in payloads])
+    assert np.array_equal(got, ref)

@@ -160,3 +160,19 @@ def test_video_kernel_plumbing(spark):
         assert g.frame_h == 16 and g.frame_w == 16
         assert g.sampled_frames == (g.n_frames + 1) // 2
         assert 0.0 <= g.mean_px <= 255.0
+
+
+def test_media_video_payloads_carry_decodable_audio():
+    """Corpus video items are full AVI files: MJPEG frames AND an
+    interleaved PCM16 audio track, both recoverable."""
+    from doc_ocr_spark.core.avi import decode_avi_audio, decode_avi_mjpeg
+
+    rows = [r for r in mm.synth_media_rows(24) if r["kind"] == "video"]
+    assert rows and all(r["fmt"] == "mjpeg-avi" for r in rows)
+    for r in rows:
+        raw = mm._synth_raw(r["media_id"])
+        frames = decode_avi_mjpeg(r["payload"])
+        assert frames.shape[0] == raw["frames"].shape[0]
+        samples, rate = decode_avi_audio(r["payload"])
+        assert rate == 8000
+        assert np.array_equal(samples, raw["audio"])
