@@ -1,3 +1,6 @@
-from doc_ocr_spark.streaming.ingest import start_incremental_extraction
+from doc_ocr_spark.streaming.ingest import (
+    start_incremental_extraction,
+    write_extracted_batch,
+)
 
-__all__ = ["start_incremental_extraction"]
+__all__ = ["start_incremental_extraction", "write_extracted_batch"]

@@ -102,3 +102,27 @@ def test_bucket_sql_matches_md5_definition():
         expected = int(hashlib.md5(f"salt:{x}".encode()).hexdigest()[:7], 16) % 1000
         got = duckdb.sql(f"SELECT {expr} FROM (SELECT {x} AS x)").fetchone()[0]
         assert got == expected, (x, got, expected)
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint-replay safety (north rule: resumable without
+    recompute-duplication): re-running a batch with the SAME batch_id
+    must replace its previous output, not append beside it — the
+    dynamic batch_id-partition overwrite in write_extracted_batch."""
+    from doc_ocr_spark.datagen import write_corpus_parquet
+    from doc_ocr_spark.streaming import write_extracted_batch
+
+    src = tmp_path / "pages.parquet"
+    write_corpus_parquet(str(src), 30)
+    out = str(tmp_path / "out")
+    batch = spark.read.parquet(str(src)).select("url", "html")
+    write_extracted_batch(batch, 0, out, n_buckets=4)
+    first = spark.read.parquet(out).count()
+    # simulated checkpoint replay: the same batch runs again
+    write_extracted_batch(batch, 0, out, n_buckets=4)
+    again = spark.read.parquet(out)
+    assert again.count() == first == 30
+    assert again.select("url").distinct().count() == 30
+    # a NEW batch still lands beside it (no cross-batch clobber)
+    write_extracted_batch(batch.limit(5), 1, out, n_buckets=4)
+    assert spark.read.parquet(out).count() == 35
