@@ -13,7 +13,11 @@ Partitioning / resume protocol (SURVEY.md §3.5):
 - every row gets ``part_bucket = pmod(xxhash64(url), n_buckets)`` — a
   stable, data-independent salt of the url, so bucket membership never
   changes between runs (the precondition for resume)
-- output is written ``partitionBy(part_bucket)`` in append mode
+- output is written ``partitionBy(part_bucket)`` with DYNAMIC partition
+  overwrite: only the buckets in this run's data are (re)written, so a
+  crash between the data commit and the lineage append cannot
+  duplicate a bucket on resume — the rerun replaces the orphaned
+  partition instead of appending beside it
 - after a successful write, one lineage row per bucket (doc_count,
   bytes_out, extractor_version, wall_ms) is appended to
   ``<output>/_lineage``.  Lineage costs NO second data pass (round-1
@@ -231,7 +235,22 @@ def run_extraction(
     )
 
     files_before = _list_data_files(spark, output)
-    extracted.write.mode("append").partitionBy("part_bucket").parquet(output)
+    # DYNAMIC partition overwrite, not append: only the buckets present
+    # in this run's data (= the pending ones; committed buckets were
+    # filtered out above) have their partitions replaced.  This is the
+    # crash-window fix: a run that died BETWEEN the data commit and the
+    # lineage append leaves orphaned files in uncommitted buckets, and
+    # a resume that appended would duplicate every row of those buckets
+    # — with the overwrite the rerun replaces the orphans instead
+    # (asserted by test_spark_job.py's crash-resume test).  Committed
+    # buckets are untouched either way: absent from the written data,
+    # their partitions are not rewritten.
+    (
+        extracted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_bucket")
+        .parquet(output)
+    )
     metrics = obs.get
     new_files = {
         p: sz

@@ -181,3 +181,30 @@ def test_pre_exchange_path_matches_golden(spark, corpus_path, tmp_path):
         )
         == []
     )
+
+
+def test_job_resume_after_crash_between_data_and_lineage(spark, corpus_path, tmp_path):
+    """The crash window the dynamic partition overwrite closes: data
+    files committed but the lineage append never ran.  A resume must
+    REPLACE the orphaned bucket output, not append a duplicate copy."""
+    import shutil
+
+    from doc_ocr_spark.job import lineage_path
+
+    out = str(tmp_path / "out4")
+    run_extraction(spark, corpus_path, out, n_buckets=8)
+    assert spark.read.parquet(out).count() == N_DOCS
+    # simulate the crash: wipe the lineage commit, keep the data files
+    shutil.rmtree(lineage_path(out))
+    assert completed_buckets(spark, out) == []
+    m = run_extraction(spark, corpus_path, out, n_buckets=8, resume=True)
+    assert m["docs"] == N_DOCS  # everything recomputed...
+    assert spark.read.parquet(out).count() == N_DOCS  # ...but not duplicated
+    assert compare_to_golden(
+        _rows(
+            spark.read.parquet(out).drop("part_bucket", "bytes_in", "extractor_version")
+        ),
+        golden_rows(N_DOCS),
+    ) == []
+    # lineage recommitted for every bucket
+    assert set(completed_buckets(spark, out)) == set(range(8))
