@@ -1,0 +1,116 @@
+"""Quality of the approximate scale paths, measured (round 4).
+
+The engine ships exact baselines next to every approximate operator;
+this bench quantifies what the approximation costs in RESULT quality,
+not just wall time:
+
+- **ANN recall@1**: `ann_nn_within_bucket` (IVF-bucketed nearest
+  neighbour) vs the exact all-pairs nearest neighbour derived from the
+  same similarity definition.  A query's answer counts as correct when
+  its in-bucket NN similarity equals the true NN similarity (ties in
+  cosine are equivalent answers).
+- **LSH pair recall**: `minhash_lsh_pairs` (band-bucketed candidates,
+  true-Jaccard verified -> precision 1.0 by construction) vs
+  `ngram_jaccard_pairs` (exact df-capped inverted index) at the same
+  threshold.  Reported as recall of the exact pair set; the df-cap is
+  shared by both sides so the comparison isolates the LSH banding.
+
+Usage: python bench_quality.py [sf_dir]  (default /root/testdata/sf0.1)
+Writes BENCH/quality_r04.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from doc_ocr_spark.operators import dedup, similarity
+    from doc_ocr_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "doc_ocr_spark-quality", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    # --- ANN recall@1: bucketed NN vs exact all-pairs NN, nprobe sweep --
+    import time
+
+    emb = similarity._emb_with_norms(spark, sf_dir)
+    pairs = similarity._sims(emb, emb).filter(F.col("qid") != F.col("cid"))
+    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("qid").asc())
+    exact = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(F.col("cid").alias("vec_id"), F.col("sim").alias("true_sim"))
+        .persist()
+    )
+    exact.count()
+
+    nprobe_rows = {}
+    for p in (1, 2, 4):
+        similarity.N_PROBE = p  # oracle not needed here; recall only
+        t0 = time.monotonic()
+        approx = similarity.ann_nn_within_bucket(spark, sf_dir).select(
+            "vec_id", F.col("sim").alias("approx_sim")
+        )
+        ann = (
+            approx.join(exact, "vec_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("approx_sim") >= F.col("true_sim")).cast("long")
+                ).alias("hit"),
+                F.avg(F.col("true_sim") - F.col("approx_sim")).alias("gap"),
+            )
+            .collect()[0]
+        )
+        nprobe_rows[p] = {
+            "recall_at_1": round(ann["hit"] / max(ann["n"], 1), 4),
+            "mean_sim_gap": round(float(ann["gap"] or 0.0), 6),
+            "queries": ann["n"],
+            "sec": round(time.monotonic() - t0, 2),
+        }
+    similarity.N_PROBE = 1
+    exact.unpersist()
+    ann = None
+
+    # --- LSH pair recall vs the exact jaccard baseline ------------------
+    exact_pairs = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh_pairs = dedup.minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact_pairs.count()
+    n_lsh = lsh_pairs.count()
+    n_found = exact_pairs.join(lsh_pairs, ["doc_a", "doc_b"]).count()
+
+    out = {
+        "metric": "approximate-path quality (recall vs exact baselines)",
+        "sf_dir": sf_dir,
+        "ann_nprobe_sweep": nprobe_rows,
+        "ivf_centroids": similarity.N_CENTROIDS,
+        "lsh_pair_recall": round(n_found / max(n_exact, 1), 4),
+        "exact_pairs": n_exact,
+        "lsh_pairs": n_lsh,
+        "n_minhash": dedup.N_MINHASH,
+        "jaccard_threshold": dedup.JACCARD_THRESHOLD,
+    }
+    spark.stop()
+    try:
+        with open(os.path.join(REPO, "BENCH", "quality_r04.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
