@@ -85,6 +85,25 @@ def main() -> None:
     exact.unpersist()
     ann = None
 
+    # --- Language-ID accuracy vs the corpus ground-truth lang column ----
+    from doc_ocr_spark.operators import textstats
+
+    lid = textstats.lang_id(spark, sf_dir)
+    per_lang = {
+        r["lang"]: {"n": r["n"], "acc": round(r["hit"] / r["n"], 4)}
+        for r in lid.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("long")).alias("hit"),
+        )
+        .collect()
+    }
+    lang_acc = round(
+        sum(v["acc"] * v["n"] for v in per_lang.values())
+        / sum(v["n"] for v in per_lang.values()),
+        4,
+    )
+
     # --- LSH pair recall vs the exact jaccard baseline ------------------
     exact_pairs = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lsh_pairs = dedup.minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -102,6 +121,15 @@ def main() -> None:
         "lsh_pairs": n_lsh,
         "n_minhash": dedup.N_MINHASH,
         "jaccard_threshold": dedup.JACCARD_THRESHOLD,
+        "lang_id_accuracy": lang_acc,
+        "lang_id_per_lang": per_lang,
+        # the synthetic corpus's text is generated from ONE shared
+        # vocabulary — the lang column is a label the text does not
+        # reflect, so ~the en share is the CEILING for any text-based
+        # ID here; real ground-truth discrimination (en/de/fr/es/zh/
+        # ru/ar constructed snippets) is asserted in
+        # tests/test_dedup_ops.py::test_lang_id_discriminates_latin_script_languages
+        "lang_id_note": "corpus text is language-independent; see test for real ground truth",
     }
     spark.stop()
     try:

@@ -14,26 +14,49 @@ from doc_ocr_spark.operators import load
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# Per-language stopword sets for Latin-script discrimination (round 4:
+# the script-class rule separates zh/ru/ar but predicted 'en' for ANY
+# Latin text containing an English stopword — de/fr/es were
+# unreachable).  Small high-frequency function-word sets; shared words
+# ("la", "que", "es") are resolved by the deterministic priority order
+# en > de > fr > es on exact count ties.
+LANG_STOPS = {
+    "en": STOPWORDS,
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans"),
+    "es": ("el", "la", "los", "las", "es", "y", "un", "como"),
+}
+
 # BPE-ish token regex: letter runs, digit runs, single punctuation
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def _stop_count(lang: str):
+    words = list(LANG_STOPS[lang])
+    return F.size(F.filter(F.split("text", " "), lambda w: w.isin(words)))
+
+
 def lang_pred_col():
     """The language-ID prediction as a reusable Column (shared with the
-    curation composite so the signal folds into an existing scan)."""
+    curation composite so the signal folds into an existing scan).
+
+    Two-stage heuristic: character-script classes first (zh/ru/ar),
+    then the argmax of per-language stopword counts over the
+    Latin-script candidates (en/de/fr/es), ties broken in that fixed
+    order; no stopword hits at all -> 'und'."""
+    counts = {g: _stop_count(g) for g in ("en", "de", "fr", "es")}
+    m = F.greatest(*counts.values())
+    latin = (
+        F.when(counts["en"] == m, "en")
+        .when(counts["de"] == m, "de")
+        .when(counts["fr"] == m, "fr")
+        .otherwise("es")
+    )
     return (
         F.when(F.col("text").rlike("[一-鿿]"), "zh")
         .when(F.col("text").rlike("[Ѐ-ӿ]"), "ru")
         .when(F.col("text").rlike("[؀-ۿ]"), "ar")
-        .when(
-            F.size(
-                F.filter(
-                    F.split("text", " "), lambda w: w.isin(list(STOPWORDS))
-                )
-            )
-            > 0,
-            "en",
-        )
+        .when(m > 0, latin)
         .otherwise("und")
     )
 
@@ -44,13 +67,27 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", lang_pred_col().alias("lang_pred"))
 
 
+def _stop_count_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in LANG_STOPS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({inlist})))"
+
+
+_C = {g: _stop_count_sql(g) for g in ("en", "de", "fr", "es")}
+_M = f"greatest({_C['en']}, {_C['de']}, {_C['fr']}, {_C['es']})"
+
 LANG_SQL = f"""
 SELECT doc_id, lang,
   CASE
     WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
     WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
     WHEN regexp_matches(text, '[\\x{{0600}}-\\x{{06ff}}]') THEN 'ar'
-    WHEN len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) > 0 THEN 'en'
+    WHEN {_M} > 0 THEN
+      CASE
+        WHEN {_C['en']} = {_M} THEN 'en'
+        WHEN {_C['de']} = {_M} THEN 'de'
+        WHEN {_C['fr']} = {_M} THEN 'fr'
+        ELSE 'es'
+      END
     ELSE 'und'
   END AS lang_pred
 FROM documents

@@ -188,3 +188,24 @@ def test_cc_pointer_doubling_same_labels_fewer_rounds(spark):
         f"\nchain-12 cc: plain {r_plain} rounds {t1-t0:.1f}s, "
         f"doubling {r_doubled} rounds {t2-t1:.1f}s"
     )
+
+
+def test_lang_id_discriminates_latin_script_languages(spark):
+    """Round-4 upgrade: per-language stopword argmax — constructed
+    snippets with known languages (the synthetic corpus's text is
+    language-independent, so this is the real ground-truth test)."""
+    from doc_ocr_spark.operators.textstats import lang_pred_col
+
+    samples = [
+        ("the cat sat on the mat and looked out of the window", "en"),
+        ("der hund ist nicht in das haus und der garten", "de"),
+        ("le chat est dans la maison et les jardins", "fr"),
+        ("el perro es grande y los gatos como la casa", "es"),
+        ("这是 一个 中文 句子", "zh"),
+        ("это русский текст", "ru"),
+        ("هذا نص عربي", "ar"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in samples], "text string")
+    got = [r.p for r in df.select(lang_pred_col().alias("p")).collect()]
+    assert got == [g for _, g in samples], list(zip(got, samples))
