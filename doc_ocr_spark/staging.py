@@ -141,7 +141,12 @@ def ensure_staged(
         group_dir = os.path.dirname(path)
         os.makedirs(group_dir, exist_ok=True)
         _sweep_stale_tmp(group_dir)
-        tmp = f"{path}.tmp-{os.getpid()}-{int(time.time() * 1000) & 0xFFFFFF}"
+        # pid + uuid: two THREADS of one process in the same millisecond
+        # must not share a tmp dir (caught by the concurrent-builders
+        # test — a time-based suffix collided)
+        import uuid
+
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         build(tmp)
         try:
             os.rename(tmp, path)

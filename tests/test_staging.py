@@ -140,3 +140,35 @@ def test_signals_and_pairs_keys_fold_upstream_constants(monkeypatch):
     monkeypatch.setattr(sampling, "CONTAM_MIN", 99)
     sampling.curation_signals_path(None, sf)
     assert cap.keys[2] != cap.keys[3], "contam change must change key"
+
+
+def test_ensure_staged_concurrent_builders_one_table(tmp_path, monkeypatch):
+    """Two builders racing on the same key: exactly one build wins the
+    rename, the loser cleans its tmp, readers see a complete table."""
+    import threading
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    barrier = threading.Barrier(2)
+    built = []
+
+    def build(tmp):
+        barrier.wait(timeout=10)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "data"), "w") as f:
+            f.write("x" * 100)
+        built.append(tmp)
+
+    paths = [None, None]
+
+    def worker(i):
+        paths[i] = staging.ensure_staged("race", "k", build)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=30) for t in ts]
+    assert paths[0] == paths[1] and paths[0] is not None
+    assert len(built) == 2  # both built; one publish won
+    assert os.path.isfile(os.path.join(paths[0], "data"))
+    # loser's tmp removed, no stray .tmp- dirs remain
+    leftovers = [e for e in os.listdir(os.path.dirname(paths[0])) if ".tmp-" in e]
+    assert leftovers == [], leftovers
