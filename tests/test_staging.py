@@ -172,3 +172,27 @@ def test_ensure_staged_concurrent_builders_one_table(tmp_path, monkeypatch):
     # loser's tmp removed, no stray .tmp- dirs remain
     leftovers = [e for e in os.listdir(os.path.dirname(paths[0])) if ".tmp-" in e]
     assert leftovers == [], leftovers
+
+
+def test_stage_dir_override_used_end_to_end(spark, tmp_path, monkeypatch):
+    """The cluster story: with SPARK_GRAFT_STAGE_DIR pointed at shared
+    storage, a staged-table consumer must build and read ONLY under the
+    override (no driver-local fallback paths in the executed plan)."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata absent")
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "shared"))
+    from doc_ocr_spark.operators.sampling import corpus_curation, curation_signals_path
+
+    p = curation_signals_path(spark, sf)
+    assert p.startswith(str(tmp_path / "shared"))
+    assert os.path.isdir(p)
+    out = corpus_curation(spark, sf)
+    assert out.count() > 0
+    # inputFiles: the decision join must read the override-rooted
+    # signals table (plus the documents scan) and nothing driver-local
+    files = out.inputFiles()
+    assert any(str(tmp_path / "shared") in f for f in files), files
+    assert all(
+        str(tmp_path / "shared") in f or "/testdata/" in f for f in files
+    ), files
