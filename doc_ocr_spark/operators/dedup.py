@@ -426,6 +426,11 @@ WHERE i <= greatest(m - {WINNOW_W - 1}, 1)
 GROUP BY doc_id
 """
 
+# adaptive label propagation: switch pointer doubling on after this
+# many plain rounds (clique graphs finish in 2-3; dragging past this
+# means a high-diameter component)
+_ADAPT_AFTER = 5
+
 MINHASH_PAIRS_VERSION = 1
 
 
@@ -478,7 +483,11 @@ def propagate_min_labels(
     round count from O(diameter) to O(log diameter).  Keep it OFF for
     clique-shaped dedup graphs: at diameter 1-2 both variants take 2-3
     rounds and the shortcut join is pure overhead (measured in the
-    fixture; BENCH/BASELINE.md finding #24).  Non-convergence raises
+    fixture; BENCH/BASELINE.md finding #24).  The default
+    (``doubling=None``) is ADAPTIVE: plain rounds first, shortcut
+    switched on automatically past round ``_ADAPT_AFTER`` — cliques
+    never pay the extra join, arbitrary-diameter graphs still fit the
+    round budget (diameter-30 chain test).  Non-convergence raises
     instead of silently truncating: a truncated propagation would split
     real clusters and let multiple keepers survive dedup.
 
@@ -498,8 +507,23 @@ def propagate_min_labels(
 
     from pyspark.sql import Observation
 
+    # doubling: True = shortcut from round 0, False = never, None =
+    # ADAPTIVE — plain rounds first (free for the diameter-1-2 clique
+    # graphs real near-dup corpora produce), switch the shortcut on if
+    # convergence drags past _ADAPT_AFTER rounds (evidently a
+    # high-diameter component; from there rounds double their reach, so
+    # any diameter fits the budget).  SPARK_GRAFT_CC_DOUBLING=1/0
+    # forces always/never.
+    adapt_after: int | None = None
     if doubling is None:
-        doubling = os.environ.get("SPARK_GRAFT_CC_DOUBLING", "") == "1"
+        env = os.environ.get("SPARK_GRAFT_CC_DOUBLING", "")
+        if env == "1":
+            doubling = True
+        elif env == "0":
+            doubling = False
+        else:
+            doubling = False
+            adapt_after = _ADAPT_AFTER
     # undirected edge list, cached: every iteration joins against it
     edges = (
         pairs.select("doc_a", "doc_b")
@@ -520,6 +544,8 @@ def propagate_min_labels(
     converged = False
     rounds = 0
     for rnd in range(max_rounds):
+        if adapt_after is not None and rnd == adapt_after:
+            doubling = True
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a.alias("doc_id"))

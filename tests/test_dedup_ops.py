@@ -209,3 +209,21 @@ def test_lang_id_discriminates_latin_script_languages(spark):
     df = spark.createDataFrame([(t,) for t, _ in samples], "text string")
     got = [r.p for r in df.select(lang_pred_col().alias("p")).collect()]
     assert got == [g for _, g in samples], list(zip(got, samples))
+
+
+def test_cc_adaptive_doubling_closes_extreme_diameter(spark):
+    """Default (adaptive) mode: a diameter-30 chain — which PLAIN
+    propagation cannot close within the 30-round budget — converges
+    because the shortcut switches on automatically after round 5."""
+    from doc_ocr_spark.operators.dedup import propagate_min_labels
+
+    chain = spark.createDataFrame(
+        [(k, k + 1) for k in range(30)], "doc_a long, doc_b long"
+    )
+    labels, rounds = propagate_min_labels(chain)  # doubling=None
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {k: 0 for k in range(31)}
+    assert rounds < 20, rounds
+    # plain mode genuinely cannot (loud failure, not truncation)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(chain, doubling=False)
