@@ -111,6 +111,28 @@ def main() -> None:
     n_lsh = lsh_pairs.count()
     n_found = exact_pairs.join(lsh_pairs, ["doc_a", "doc_b"]).count()
 
+    # --- SimHash separation: hamming distance on near-dup vs random ----
+    sh = dedup.simhash16(spark, sf_dir).persist()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    dup_ham = (
+        exact_pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(F.avg(ham).alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    rnd = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(997)) == 0)
+        )  # deterministic ~1/997 sample of all pairs (bounded, seedless)
+        .agg(F.avg(ham).alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    sh.unpersist()
+
     out = {
         "metric": "approximate-path quality (recall vs exact baselines)",
         "sf_dir": sf_dir,
@@ -121,6 +143,10 @@ def main() -> None:
         "lsh_pairs": n_lsh,
         "n_minhash": dedup.N_MINHASH,
         "jaccard_threshold": dedup.JACCARD_THRESHOLD,
+        "simhash_mean_hamming_neardup": round(float(dup_ham["m"] or 0), 3),
+        "simhash_neardup_pairs": dup_ham["n"],
+        "simhash_mean_hamming_random": round(float(rnd["m"] or 0), 3),
+        "simhash_random_pairs": rnd["n"],
         "lang_id_accuracy": lang_acc,
         "lang_id_per_lang": per_lang,
         # the synthetic corpus's text is generated from ONE shared
