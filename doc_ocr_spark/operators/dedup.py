@@ -318,7 +318,17 @@ FROM sums
 
 WINNOW_K = 8   # k-gram length (chars)
 WINNOW_W = 4   # window: one selection per W consecutive k-gram hashes
-_POS_PAD = 9   # zero-pad width for the position tie-break suffix
+# The k-gram hash is the first 11 hex nibbles (44 bits) of md5 — the
+# r04 A/B: sliding-min over the short fixed-width key runs the sf0.1
+# query in 3.5 s vs 4.45 s for the full 32-nibble key (the doubling
+# zip_with compares keys O(m log W) times, so key width is the hot
+# dimension once md5 itself is paid).  A 44-bit prefix IS the hash
+# function (winnowing admits any deterministic hash); the oracle and
+# the independent reference implementation share the same rule, so
+# parity and the t = W+K-1 guarantee are unaffected.
+WINNOW_HASH_CHARS = 11
+_POS_PAD = 7   # zero-pad width for the position tie-break suffix
+# (10^7 chars of text headroom per doc — far above web-page extract sizes)
 
 
 def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +364,11 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.concat(
-            F.md5(F.col("text").substr(i, F.lit(WINNOW_K))),
+            F.substring(
+                F.md5(F.col("text").substr(i, F.lit(WINNOW_K))),
+                1,
+                WINNOW_HASH_CHARS,
+            ),
             F.lpad((F.lit(10 ** _POS_PAD) - i).cast("string"), _POS_PAD + 1, "0"),
         ),
     )
@@ -389,7 +403,7 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sels = F.transform(
         F.slice(col, 1, F.greatest(mcol - (WINNOW_W - 1), F.lit(1))),
-        lambda x: F.substring(x, 1, 32),
+        lambda x: F.substring(x, 1, WINNOW_HASH_CHARS),
     )
     fp = F.array_sort(F.array_distinct(sels))
     return with_keys.select(
@@ -407,14 +421,14 @@ WITH pos AS (
 ),
 grams AS (
   SELECT doc_id, i,
-         md5(substr(text, i, {WINNOW_K}))
+         substr(md5(substr(text, i, {WINNOW_K})), 1, {WINNOW_HASH_CHARS})
            || lpad(CAST({10 ** _POS_PAD} - i AS VARCHAR), {_POS_PAD + 1}, '0') AS key
   FROM pos
 ),
 sel AS (
   SELECT doc_id, i,
          substr(min(key) OVER (PARTITION BY doc_id ORDER BY i
-                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING), 1, 32) AS sel,
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING), 1, {WINNOW_HASH_CHARS}) AS sel,
          count(*) OVER (PARTITION BY doc_id) AS m
   FROM grams
 )

@@ -14,13 +14,14 @@ def _winnow_ref(text: str, k: int = D.WINNOW_K, w: int = D.WINNOW_W) -> set[str]
     """Independent sequential winnowing (Schleimer et al. fig. 5 with
     rightmost-min ties): returns the selected HASH set."""
     m = max(len(text) - k + 1, 1)
+    hc = D.WINNOW_HASH_CHARS
     keys = []
     for i in range(1, m + 1):
-        h = hashlib.md5(text[i - 1 : i - 1 + k].encode("utf-8")).hexdigest()
+        h = hashlib.md5(text[i - 1 : i - 1 + k].encode("utf-8")).hexdigest()[:hc]
         keys.append(h + str(10**D._POS_PAD - i).zfill(D._POS_PAD + 1))
     sels = set()
     for j in range(max(m - w + 1, 1)):
-        sels.add(min(keys[j : j + w])[:32])
+        sels.add(min(keys[j : j + w])[:hc])
     return sels
 
 
