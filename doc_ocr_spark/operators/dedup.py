@@ -26,12 +26,25 @@ N_MINHASH = 8
 JACCARD_THRESHOLD = 0.5
 
 
+# Shingles travel as 44-bit md5 prefixes, not raw word 3-grams (r04
+# A/B at sf0.1: jaccard 2.9-3.4 -> 2.4-2.6 s, minhash 2.7-3.2 ->
+# 2.3-2.4 s, identical result rows).  The shingle stream feeds the
+# engine's widest shuffles (inverted index, collect_set) and its pair
+# joins/array_intersect — an 11-char fixed-width key beats a ~20-30
+# char phrase on every one of those, and the md5 paid per occurrence
+# is cheaper than what it saves.  Jaccard over hashed shingles equals
+# Jaccard over raw shingles up to 2^-44 collisions; the oracle CTE and
+# every consumer share the rule, and the staged-table cache keys fold
+# the CTE text so the change self-invalidates.
+SHINGLE_HASH_CHARS = 11
+
+
 def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
-    """Word 3-gram shingles per doc (docs with <3 words drop out,
-    mirrored by the oracle's empty range).  ``distinct=False`` skips
-    the per-(doc_id, s) dedup exchange — for consumers that filter the
-    stream first (e.g. a broadcast semi-join against a small shingle
-    set) and dedup the far smaller remainder."""
+    """Hashed word 3-gram shingles per doc (docs with <3 words drop
+    out, mirrored by the oracle's empty range).  ``distinct=False``
+    skips the per-(doc_id, s) dedup exchange — for consumers that
+    filter the stream first (e.g. a broadcast semi-join against a small
+    shingle set) and dedup the far smaller remainder."""
     w = F.split(F.col("text"), " ")
     out = (
         docs.select("doc_id", w.alias("w"))
@@ -43,21 +56,29 @@ def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("w", F.col("i")),
-                F.element_at("w", F.col("i") + 1),
-                F.element_at("w", F.col("i") + 2),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("w", F.col("i")),
+                        F.element_at("w", F.col("i") + 1),
+                        F.element_at("w", F.col("i") + 2),
+                    )
+                ),
+                1,
+                SHINGLE_HASH_CHARS,
             ).alias("s"),
         )
     )
     return out.distinct() if distinct else out
 
 
-_SHINGLES_CTE = """
+_SHINGLES_CTE = f"""
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words),
-shingles AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx)
+shingles AS (SELECT DISTINCT doc_id,
+  substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, {SHINGLE_HASH_CHARS}) AS s
+FROM idx)
 """
 
 
@@ -163,26 +184,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle (collect_set dedups in the agg, so no separate
     DISTINCT exchange).  Everything downstream (signatures, sizes,
     intersection verify) runs JVM-side on the array column."""
-    w = F.split(F.col("text"), " ")
-    exploded = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
-            "w",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("w", F.col("i")),
-                F.element_at("w", F.col("i") + 1),
-                F.element_at("w", F.col("i") + 2),
-            ).alias("s"),
-        )
-    )
+    exploded = _shingles(load(spark, sf_dir, "documents"), distinct=False)
     return exploded.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
 
 
