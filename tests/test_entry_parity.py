@@ -125,3 +125,13 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) == {"url", "extracted_text", "complete"}
+
+
+def test_every_query_has_an_oracle_and_no_orphans():
+    """Driver-contract completeness: every registered query ships an
+    oracle (zero rows-only checks), no oracle points at a missing
+    query, and the retired sets pair up the same way."""
+    q, o = set(entrymod.queries()), set(entrymod.oracle_sql())
+    assert q == o, (q - o, o - q)
+    rq, ro = set(entrymod.retired_queries()), set(entrymod.retired_oracle_sql())
+    assert rq == ro, (rq - ro, ro - rq)
