@@ -58,6 +58,7 @@ def main() -> None:
     exact.count()
 
     nprobe_rows = {}
+    default_nprobe = similarity.N_PROBE  # restore after the sweep
     for p in (1, 2, 4):
         similarity.N_PROBE = p  # oracle not needed here; recall only
         t0 = time.monotonic()
@@ -81,13 +82,24 @@ def main() -> None:
             "queries": ann["n"],
             "sec": round(time.monotonic() - t0, 2),
         }
-    similarity.N_PROBE = 1
+    similarity.N_PROBE = default_nprobe
     exact.unpersist()
     ann = None
 
-    # --- Language-ID accuracy vs the corpus ground-truth lang column ----
+    # --- Language-ID accuracy --------------------------------------------
+    # (a) REAL ground truth: the deterministic constructed-snippet corpus
+    # (VERDICT r04 item 3) — per-language accuracy with a floor asserted in
+    # tests/test_dedup_ops.py::test_lang_id_accuracy_floor_on_constructed_ground_truth
     from doc_ocr_spark.operators import textstats
 
+    snippet_acc = textstats.langid_eval_accuracy(spark)
+    snippet_overall = round(
+        sum(v["acc"] * v["n"] for v in snippet_acc.values())
+        / sum(v["n"] for v in snippet_acc.values()),
+        4,
+    )
+
+    # (b) the corpus lang column (a CEILING — see lang_id_note below)
     lid = textstats.lang_id(spark, sf_dir)
     per_lang = {
         r["lang"]: {"n": r["n"], "acc": round(r["hit"] / r["n"], 4)}
@@ -137,6 +149,7 @@ def main() -> None:
         "metric": "approximate-path quality (recall vs exact baselines)",
         "sf_dir": sf_dir,
         "ann_nprobe_sweep": nprobe_rows,
+        "ivf_nprobe_default": default_nprobe,
         "ivf_centroids": similarity.N_CENTROIDS,
         "lsh_pair_recall": round(n_found / max(n_exact, 1), 4),
         "exact_pairs": n_exact,
@@ -147,6 +160,8 @@ def main() -> None:
         "simhash_neardup_pairs": dup_ham["n"],
         "simhash_mean_hamming_random": round(float(rnd["m"] or 0), 3),
         "simhash_random_pairs": rnd["n"],
+        "lang_id_snippet_accuracy": snippet_overall,
+        "lang_id_snippet_per_lang": snippet_acc,
         "lang_id_accuracy": lang_acc,
         "lang_id_per_lang": per_lang,
         # the synthetic corpus's text is generated from ONE shared
@@ -159,7 +174,7 @@ def main() -> None:
     }
     spark.stop()
     try:
-        with open(os.path.join(REPO, "BENCH", "quality_r04.json"), "w") as f:
+        with open(os.path.join(REPO, "BENCH", "quality_r05.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass

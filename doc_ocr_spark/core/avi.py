@@ -145,11 +145,17 @@ def encode_avi_mjpeg(
     movi_body = b"movi"
     idx_entries = []
     for k, p in enumerate(payloads):
-        # idx1 offsets are relative to the start of the 'movi' list type
-        idx_entries.append((b"00dc", len(movi_body) - 4, len(p)))
+        # idx1 offsets are relative to the START of the 'movi' fourcc
+        # (RIFF/AVI convention: the first chunk header sits at offset 4,
+        # just past the 4-byte fourcc).  movi_body begins with b"movi",
+        # so len(movi_body) at append time IS the chunk-header offset;
+        # the earlier ``- 4`` pointed every entry at the preceding
+        # chunk's last dword (ADVICE r04 — external players that trust
+        # AVIF_HASINDEX would mis-seek by 4 bytes per entry).
+        idx_entries.append((b"00dc", len(movi_body), len(p)))
         movi_body += _chunk(b"00dc", p)
         if audio_slices and audio_slices[k]:
-            idx_entries.append((b"01wb", len(movi_body) - 4, len(audio_slices[k])))
+            idx_entries.append((b"01wb", len(movi_body), len(audio_slices[k])))
             movi_body += _chunk(b"01wb", audio_slices[k])
     movi = _chunk(b"LIST", movi_body)
     idx1 = _chunk(

@@ -362,7 +362,28 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a computation that is strictly per-doc-local — the map-only
     form is the one that survives 100x."""
     docs = load(spark, sf_dir, "documents")
-    m = F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1))
+    # Loud overflow guard (ADVICE r04): the rightmost-position tie-break
+    # term is 10^_POS_PAD - i, which goes NEGATIVE past 10^_POS_PAD
+    # characters — lpad would emit keys starting with '-' and silently
+    # break the selection order (on BOTH engines, so parity would mask
+    # it).  Oversized docs must fail, not degrade; evaluated once per
+    # row before any hashing.
+    max_len = 10 ** _POS_PAD
+    m = F.when(
+        F.length("text") < F.lit(max_len),
+        F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1)),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("fingerprint_winnow: doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" has length(text) >= 10^{_POS_PAD}; raise _POS_PAD "
+                    "for corpora with longer documents"
+                ),
+            )
+        ).cast("int")
+    )
     keys = F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.concat(

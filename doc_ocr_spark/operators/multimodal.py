@@ -131,7 +131,8 @@ MEDIA_SCHEMA = "media_id long, kind string, fmt string, payload binary"
 _MEDIA_PART_FILES = 8  # part files in the materialized table
 # bump whenever a codec/corpus change alters payload bytes — the cache
 # key must change or a stale staged table would poison the parity gates
-MEDIA_GEN_VERSION = 5  # v5: AVI video carries interleaved PCM audio
+MEDIA_GEN_VERSION = 6  # v6: idx1 offsets fixed to the RIFF convention
+# (v5: AVI video carries interleaved PCM audio)
 
 
 def media_table_path(n: int = N_MEDIA, seed: int = SEED) -> str:

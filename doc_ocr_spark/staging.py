@@ -52,10 +52,23 @@ def stage_root() -> str:
         if xdg:
             root = os.path.join(xdg, "doc_ocr_spark")
         else:
+            # world-writable tempdir fallback: the uid suffix alone is
+            # NOT a defense (ADVICE r04 — any local user can pre-create
+            # /tmp/doc_ocr_spark_stage_<victim_uid> and pre-plant
+            # parquet), so mirror tempfile.mkdtemp's hardening: create
+            # private (0o700) and refuse a directory we don't own.
             uid = os.getuid() if hasattr(os, "getuid") else 0
             root = os.path.join(
                 tempfile.gettempdir(), f"doc_ocr_spark_stage_{uid}"
             )
+            os.makedirs(root, mode=0o700, exist_ok=True)
+            if hasattr(os, "getuid") and os.stat(root).st_uid != os.getuid():
+                raise RuntimeError(
+                    f"staging fallback {root} is owned by another user "
+                    "(pre-planted?); set SPARK_GRAFT_STAGE_DIR or "
+                    "XDG_CACHE_HOME to a directory you control"
+                )
+            return root
     os.makedirs(root, exist_ok=True)
     return root
 
@@ -72,22 +85,32 @@ def file_fingerprint(path: str) -> str:
     """
     path = os.path.realpath(path)
     if os.path.isdir(path):
+        # Recurse into subdirectories (ADVICE r04): a partitioned layout
+        # (bucket=N/ subdirs) must contribute its nested data files to
+        # the key, or a changed corpus silently hits a stale staged
+        # table — the exact cache-poisoning failure this module exists
+        # to prevent.  The subdir NAME is folded too (partition values
+        # are data).
         parts = []
         for entry in sorted(os.scandir(path), key=lambda e: e.name):
-            if entry.is_file() and not entry.name.startswith((".", "_")):
+            if entry.name.startswith((".", "_")):
+                continue
+            if entry.is_dir(follow_symlinks=False):
+                parts.append(f"{entry.name}/{file_fingerprint(entry.path)}")
+            elif entry.is_file():
                 parts.append(file_fingerprint(entry.path))
         return "d:" + hashlib.md5("|".join(parts).encode()).hexdigest()
-    try:
-        size = os.path.getsize(path)
-        h = hashlib.md5()
-        with open(path, "rb") as f:
+    # OSError (missing file, transient stat failure) PROPAGATES: a
+    # content-independent fallback token would make the key stable
+    # across corpus changes — fail loudly instead (ADVICE r04).
+    size = os.path.getsize(path)
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        h.update(f.read(_FP_BYTES))
+        if size > _FP_BYTES:
+            f.seek(max(_FP_BYTES, size - _FP_BYTES))
             h.update(f.read(_FP_BYTES))
-            if size > _FP_BYTES:
-                f.seek(max(_FP_BYTES, size - _FP_BYTES))
-                h.update(f.read(_FP_BYTES))
-        return f"{os.path.basename(path)}:{size}:{h.hexdigest()}"
-    except OSError:
-        return f"{os.path.basename(path)}:absent"
+    return f"{os.path.basename(path)}:{size}:{h.hexdigest()}"
 
 
 def content_key(*parts: object) -> str:

@@ -39,6 +39,41 @@ PAGES_SCHEMA = StructType(
 )
 
 
+# output dirs already checked for the pre-batch_id partition layout
+# this process lifetime (one FS listing per dir, not per micro-batch)
+_LAYOUT_CHECKED: set[str] = set()
+
+
+def _fail_on_legacy_layout(spark: SparkSession, output_dir: str) -> None:
+    """Fail fast if ``output_dir`` holds the pre-round-4 layout
+    (``partitionBy(part_bucket)`` with batch_id as a data column).
+
+    The current layout is ``partitionBy(batch_id, part_bucket)``;
+    restarting an old stream (old checkpoint + old output dir) against
+    it would produce a MIXED layout in one directory — unreadable by
+    Spark's partition inference, and the dynamic overwrite could not
+    replace replayed old-layout rows (ADVICE r04).  Upgrade path:
+    discard (or re-ingest into) the pre-existing output dir and its
+    checkpoint; there is no in-place migration."""
+    if output_dir in _LAYOUT_CHECKED:
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(output_dir)
+    fs = path.getFileSystem(conf)
+    if fs.exists(path):
+        for st in fs.listStatus(path):
+            if st.getPath().getName().startswith("part_bucket="):
+                raise RuntimeError(
+                    f"{output_dir} holds the legacy part_bucket-only "
+                    "partition layout; the stream now writes "
+                    "partitionBy(batch_id, part_bucket) and mixing the "
+                    "two is unreadable. Start from a fresh output dir + "
+                    "checkpoint (or move the legacy output aside)."
+                )
+    _LAYOUT_CHECKED.add(output_dir)
+
+
 def write_extracted_batch(
     batch_df,
     batch_id: int,
@@ -58,6 +93,7 @@ def write_extracted_batch(
     tests/test_functions_sources.py).  ``part_bucket`` stays the second
     partition level, so bucket partition-pruning is unchanged for
     downstream consumers."""
+    _fail_on_legacy_layout(batch_df.sparkSession, output_dir)
     extracted = apply_kernel(
         with_bucket(batch_df, n_buckets).repartition("part_bucket"),
         templates,

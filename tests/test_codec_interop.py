@@ -328,3 +328,38 @@ def test_avi_foreign_audio_chunks_do_not_confuse_frame_walk():
     got = decode_avi_mjpeg(avi)
     ref = np.stack([decode_jpeg(p) for p in payloads])
     assert np.array_equal(got, ref)
+
+
+def test_avi_idx1_offsets_follow_riff_convention():
+    """ADVICE r04: idx1 offsets are relative to the 'movi' fourcc, so
+    the FIRST chunk's offset is 4 (its header sits just past the
+    4-byte fourcc) and every offset must land exactly on the chunk
+    header its ckid names — external players that trust AVIF_HASINDEX
+    seek through this table."""
+    fr, _ = _mjpeg_frames(3)
+    audio = np.arange(-300, 300, dtype=np.int16)
+    buf = encode_avi_mjpeg(fr, 85, audio=audio)
+
+    # walk the top-level RIFF body to find movi + idx1
+    movi_fourcc_pos = idx1 = None
+    pos, end = 12, 12 + struct.unpack_from("<I", buf, 4)[0] - 4
+    while pos + 8 <= end:
+        ckid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if ckid == b"LIST" and buf[body : body + 4] == b"movi":
+            movi_fourcc_pos = body
+        elif ckid == b"idx1":
+            idx1 = buf[body : body + size]
+        pos = body + size + (size % 2)
+    assert movi_fourcc_pos is not None and idx1 is not None
+    assert len(idx1) % 16 == 0 and len(idx1) // 16 == 6  # 3 video + 3 audio
+
+    first_off = struct.unpack_from("<I", idx1, 8)[0]
+    assert first_off == 4, "first chunk header sits at movi offset 4"
+    for k in range(len(idx1) // 16):
+        ckid = idx1[16 * k : 16 * k + 4]
+        _flags, off, sz = struct.unpack_from("<3I", idx1, 16 * k + 4)
+        hdr = movi_fourcc_pos + off
+        assert buf[hdr : hdr + 4] == ckid, (k, ckid, off)
+        assert struct.unpack_from("<I", buf, hdr + 4)[0] == sz

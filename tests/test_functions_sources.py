@@ -126,3 +126,24 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     # a NEW batch still lands beside it (no cross-batch clobber)
     write_extracted_batch(batch.limit(5), 1, out, n_buckets=4)
     assert spark.read.parquet(out).count() == 35
+
+
+def test_ingest_refuses_legacy_partition_layout(spark, tmp_path):
+    """ADVICE r04: restarting a pre-round-4 stream (output partitioned
+    by part_bucket only) against the batch_id+part_bucket writer would
+    mix two layouts in one dir — unreadable, and replays could not
+    overwrite old-layout rows.  The writer must fail fast instead."""
+    from doc_ocr_spark.datagen import write_corpus_parquet
+    from doc_ocr_spark.streaming import write_extracted_batch
+
+    src = tmp_path / "pages.parquet"
+    write_corpus_parquet(str(src), 5)
+    batch = spark.read.parquet(str(src)).select("url", "html")
+    out = tmp_path / "out"
+    (out / "part_bucket=3").mkdir(parents=True)  # legacy top-level layout
+    with pytest.raises(RuntimeError, match="legacy part_bucket-only"):
+        write_extracted_batch(batch, 0, str(out), n_buckets=2)
+    # an output dir in the CURRENT layout (or empty) is accepted
+    out2 = str(tmp_path / "out2")
+    write_extracted_batch(batch, 0, out2, n_buckets=2)
+    assert spark.read.parquet(out2).count() == 5

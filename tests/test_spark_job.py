@@ -208,3 +208,61 @@ def test_job_resume_after_crash_between_data_and_lineage(spark, corpus_path, tmp
     ) == []
     # lineage recommitted for every bucket
     assert set(completed_buckets(spark, out)) == set(range(8))
+
+
+def test_job_crash_injected_between_data_commit_and_lineage(
+    spark, corpus_path, tmp_path, monkeypatch
+):
+    """VERDICT r04 item 5: failure INJECTION at the exact boundary the
+    dynamic overwrite protects — the run's data write has committed but
+    it dies BEFORE the lineage append (injected: the lineage derivation
+    raises), on top of partial prior progress (half the buckets already
+    committed).  The follow-up resume must neither duplicate the
+    orphaned buckets' rows nor drop or recompute the committed ones."""
+    from doc_ocr_spark import job as J
+
+    out = str(tmp_path / "out_crash")
+    # prior progress: a completed run over the bucket<4 half-corpus
+    half = (
+        J.with_bucket(spark.read.parquet(corpus_path), 8)
+        .filter(F.col("part_bucket") < 4)
+        .drop("part_bucket")
+    )
+    half_path = str(tmp_path / "half_crash.parquet")
+    half.write.parquet(half_path)
+    run_extraction(spark, half_path, out, n_buckets=8)
+    committed = set(completed_buckets(spark, out))
+    assert committed == set(range(4))
+    n_committed_docs = spark.read.parquet(out).count()
+
+    def _die(*a, **k):
+        raise RuntimeError("injected kill between data commit and lineage append")
+
+    monkeypatch.setattr(J, "_lineage_from_files", _die)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        run_extraction(spark, corpus_path, out, n_buckets=8, resume=True)
+    monkeypatch.undo()
+
+    # post-crash state: orphaned data for buckets 4-7, no lineage for them
+    assert set(completed_buckets(spark, out)) == committed
+    assert spark.read.parquet(out).count() == N_DOCS  # data DID commit
+
+    m = run_extraction(spark, corpus_path, out, n_buckets=8, resume=True)
+    # committed buckets were skipped, only the orphaned ones recomputed
+    assert m["docs"] == N_DOCS - n_committed_docs
+    final = spark.read.parquet(out)
+    assert final.count() == N_DOCS  # orphans replaced, not appended-to
+    assert final.select("url").distinct().count() == N_DOCS  # nothing dropped
+    assert compare_to_golden(
+        _rows(final.drop("part_bucket", "bytes_in", "extractor_version")),
+        golden_rows(N_DOCS),
+    ) == []
+    # lineage now covers every bucket exactly once, counts exact
+    lin = spark.read.parquet(J.lineage_path(out))
+    per_bucket = {r.part_bucket: r.doc_count for r in lin.collect()}
+    assert set(per_bucket) == set(range(8))
+    actual = {
+        r.part_bucket: r.n
+        for r in final.groupBy("part_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_bucket == actual

@@ -53,6 +53,58 @@ def test_file_fingerprint_directory_sums_data_files(tmp_path):
     assert staging.file_fingerprint(str(d)) != fp1
 
 
+def test_file_fingerprint_recurses_into_partition_subdirs(tmp_path):
+    """ADVICE r04: a partitioned layout (bucket=N/ subdirs) must fold
+    its NESTED data files — and the partition-dir names themselves —
+    into the key, or a changed corpus silently hits a stale table."""
+    d = tmp_path / "tbl.parquet"
+    (d / "bucket=0").mkdir(parents=True)
+    (d / "bucket=0" / "part-0").write_bytes(b"aaa")
+    fp1 = staging.file_fingerprint(str(d))
+    # changed bytes inside a subdir -> different key
+    (d / "bucket=0" / "part-0").write_bytes(b"bbb")
+    fp2 = staging.file_fingerprint(str(d))
+    assert fp2 != fp1
+    # partition VALUES are data: renaming the subdir alone changes the key
+    (d / "bucket=0").rename(d / "bucket=1")
+    assert staging.file_fingerprint(str(d)) != fp2
+    # hidden/meta subdirs are still ignored
+    fp3 = staging.file_fingerprint(str(d))
+    (d / "_delta_log").mkdir()
+    (d / "_delta_log" / "0.json").write_bytes(b"meta")
+    assert staging.file_fingerprint(str(d)) == fp3
+
+
+def test_file_fingerprint_missing_file_raises(tmp_path):
+    """ADVICE r04: OSError must PROPAGATE — a content-independent
+    ':absent' token would make the key stable across corpus changes."""
+    with pytest.raises(OSError):
+        staging.file_fingerprint(str(tmp_path / "nope.parquet"))
+
+
+def test_stage_root_tmp_fallback_is_private_and_owner_checked(
+    tmp_path, monkeypatch
+):
+    """ADVICE r04: the uid suffix alone is no defense — the fallback
+    must be created 0o700 and a dir owned by another user refused."""
+    import tempfile as _tf
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    monkeypatch.delenv("XDG_CACHE_HOME", raising=False)
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    root = staging.stage_root()
+    assert root == str(tmp_path / f"doc_ocr_spark_stage_{os.getuid()}")
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    # pre-planted shape: the path key says uid X, the dir is owned by
+    # someone else (simulated by patching getuid AFTER this user
+    # created the dir) -> refuse, do not silently reuse
+    real_uid = os.getuid()
+    os.makedirs(tmp_path / f"doc_ocr_spark_stage_{real_uid + 1}")
+    monkeypatch.setattr(os, "getuid", lambda: real_uid + 1)
+    with pytest.raises(RuntimeError, match="owned by another user"):
+        staging.stage_root()
+
+
 def test_ensure_staged_builds_once_and_publishes_atomically(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
     calls = []
