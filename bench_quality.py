@@ -58,9 +58,16 @@ def main() -> None:
     exact.count()
 
     nprobe_rows = {}
-    default_nprobe = similarity.N_PROBE  # restore after the sweep
-    for p in (1, 2, 4):
-        similarity.N_PROBE = p  # oracle not needed here; recall only
+    # restore defaults after the sweep (oracle not needed here; recall only)
+    default_nprobe = similarity.N_PROBE
+    default_mode = similarity.IVF_PROBE_MODE
+    # sym P=1 == asym P=1; sym P=8 omitted (130 s for a point the asym
+    # curve dominates — finding #30)
+    grid = [("sym", 1), ("sym", 2), ("sym", 4),
+            ("asym", 2), ("asym", 4), ("asym", 8)]
+    for mode, p in grid:
+        similarity.IVF_PROBE_MODE = mode
+        similarity.N_PROBE = p
         t0 = time.monotonic()
         approx = similarity.ann_nn_within_bucket(spark, sf_dir).select(
             "vec_id", F.col("sim").alias("approx_sim")
@@ -76,13 +83,14 @@ def main() -> None:
             )
             .collect()[0]
         )
-        nprobe_rows[p] = {
+        nprobe_rows[f"{mode}_p{p}"] = {
             "recall_at_1": round(ann["hit"] / max(ann["n"], 1), 4),
             "mean_sim_gap": round(float(ann["gap"] or 0.0), 6),
             "queries": ann["n"],
             "sec": round(time.monotonic() - t0, 2),
         }
     similarity.N_PROBE = default_nprobe
+    similarity.IVF_PROBE_MODE = default_mode
     exact.unpersist()
     ann = None
 
@@ -148,8 +156,9 @@ def main() -> None:
     out = {
         "metric": "approximate-path quality (recall vs exact baselines)",
         "sf_dir": sf_dir,
-        "ann_nprobe_sweep": nprobe_rows,
+        "ann_probe_grid": nprobe_rows,
         "ivf_nprobe_default": default_nprobe,
+        "ivf_probe_mode_default": default_mode,
         "ivf_centroids": similarity.N_CENTROIDS,
         "lsh_pair_recall": round(n_found / max(n_exact, 1), 4),
         "exact_pairs": n_exact,

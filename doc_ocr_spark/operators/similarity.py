@@ -196,17 +196,29 @@ SELECT qid, cid, sim, rank FROM (
 
 
 # Multi-probe IVF: search the top-P centroid buckets per vector instead
-# of 1.  Standard IVF recall lever (FAISS nprobe): on near-uniform
-# synthetic embeddings measured recall@1 of the in-bucket NN is
-# 0.24 / 0.64 / 0.98 at P=1/2/4 (BENCH/quality_r04.json sweep) at the
-# cost of ~P x the pair-join work.  Default is 2 (VERDICT r04 item 1):
-# a user calling `ann_nn_within_bucket` at defaults should get a
-# usefully-accurate approximate answer, and the measured recall floor
-# at the default is asserted by tests/test_dedup_ops.py so a knob
-# change cannot silently ship a low-recall default again.  The oracle
-# SQL is generated from the same constant so parity holds at any
-# setting.
-N_PROBE = int(_os.environ.get("SPARK_GRAFT_IVF_NPROBE", "2"))
+# of 1 (the standard FAISS nprobe recall lever), in one of two SHAPES:
+#
+# - 'sym' (the r04 formulation): BOTH sides of the within-bucket pair
+#   join carry the top-P assignment — a pair matches when the two
+#   vectors' top-P bucket sets intersect.  Pair work grows ~P^2*n/k
+#   and the materialized assignment is P*n rows.
+# - 'asym' (the standard IVF/FAISS shape, round-5 default): the INDEX
+#   side keeps only each vector's primary (top-1) bucket, the query
+#   side probes its top-P.  The index table stays n rows — the
+#   big-side shuffle/storage does not grow with the recall knob — and
+#   pair work is ~P*n/k.  The cost is recall per probe (a candidate is
+#   reachable only through its primary bucket).
+#
+# Measured head-to-head at sf0.1 (BENCH/quality_r05.json, finding #30):
+# asym P=4 = 0.649 recall @ 11.6 s BEATS sym P=2 = 0.639 @ 13.3 s on
+# both axes; asym P=8 = 0.931 @ 14.8 s vs sym P=4 = 0.985 @ 43.3 s.
+# Defaults are (asym, P=4) — recall@1 0.616/0.649 at sf0.001/sf0.1,
+# floor >= 0.6 asserted in tests/test_dedup_ops.py so a knob change
+# cannot silently ship a low-recall default.  The oracle SQL is
+# generated from the same two constants, so parity holds at any
+# (P, mode) combination.
+N_PROBE = int(_os.environ.get("SPARK_GRAFT_IVF_NPROBE", "4"))
+IVF_PROBE_MODE = _os.environ.get("SPARK_GRAFT_IVF_PROBE_MODE", "asym")
 
 
 def _topp_assign(sims: DataFrame, p: int) -> DataFrame:
@@ -273,16 +285,27 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
     assign = _topp_assign(_sims(cents, emb), N_PROBE).select("vec_id", "bucket")
     withb = emb.join(assign, "vec_id")
-    # Self-join via .alias() so BOTH sides are the *identical* subtree:
-    # Spark's ReuseExchange then runs the whole assignment computation
-    # (centroid sims + max_by agg) once and feeds both join inputs from
-    # the same shuffle output.  (The previous form renamed columns
-    # before the join, making the subtrees differ — the ~half-the-work
-    # assignment ran twice; measured ~25% wall saving at sf0.1.)
+    if IVF_PROBE_MODE == "asym":
+        # standard IVF: the index side keeps primary buckets only; a
+        # (q, c) pair can then match through at most ONE bucket, so no
+        # duplicate pairs reach the NN window
+        index_assign = _argmax_assign(_sims(cents, emb)).select("vec_id", "bucket")
+        cand = emb.join(index_assign, "vec_id")
+    else:
+        cand = withb
+    # Self-join via .alias(): in 'sym' mode BOTH sides are the
+    # *identical* subtree, so Spark's ReuseExchange runs the whole
+    # assignment computation (centroid sims + max_by agg) once and
+    # feeds both join inputs from the same shuffle output.  (The
+    # previous form renamed columns before the join, making the
+    # subtrees differ — the ~half-the-work assignment ran twice;
+    # measured ~25% wall saving at sf0.1.)  In 'asym' mode the sides
+    # genuinely differ; the centroid-sims leg is map-only (broadcast
+    # nested loop), so recomputing it costs no extra shuffle.
     pairs = (
         withb.alias("q")
         .join(
-            withb.alias("c"),
+            cand.alias("c"),
             (F.col("q.bucket") == F.col("c.bucket"))
             & (F.col("q.vec_id") != F.col("c.vec_id")),
         )
@@ -313,22 +336,27 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# index-side probe depth: primary-only in 'asym', top-P in 'sym'
+_INDEX_RANK = 1 if IVF_PROBE_MODE == "asym" else N_PROBE
+
 NN_BUCKET_SQL = f"""
 WITH {_NORMS_CTE}, {_sims_sql(f"< {N_CENTROIDS}")},
-assign AS (
-  SELECT cid AS vec_id, qid AS bucket FROM (
-    SELECT qid, cid, sim,
-           row_number() OVER (PARTITION BY cid ORDER BY sim DESC, qid) AS rank
-    FROM sims
-  ) WHERE rank <= {N_PROBE}
+ranked AS (
+  SELECT qid, cid, sim,
+         row_number() OVER (PARTITION BY cid ORDER BY sim DESC, qid) AS rank
+  FROM sims
 ),
-withb AS (SELECT e.vec_id, e.embedding, e.nrm, a.bucket
-          FROM emb e JOIN assign a USING (vec_id)),
+probe AS (SELECT cid AS vec_id, qid AS bucket FROM ranked WHERE rank <= {N_PROBE}),
+cassign AS (SELECT cid AS vec_id, qid AS bucket FROM ranked WHERE rank <= {_INDEX_RANK}),
+withq AS (SELECT e.vec_id, e.embedding, e.nrm, a.bucket
+          FROM emb e JOIN probe a USING (vec_id)),
+withc AS (SELECT e.vec_id, e.embedding, e.nrm, a.bucket
+          FROM emb e JOIN cassign a USING (vec_id)),
 bsims AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
          round((CAST({_dot_scaled_sql("q.embedding", "c.embedding")} AS DOUBLE) / {_S_SQL})
                / (q.nrm * c.nrm), 6) AS sim
-  FROM withb q JOIN withb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  FROM withq q JOIN withc c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 )
 SELECT qid AS vec_id, bucket, cid AS nn_id, sim FROM (
   SELECT qid, cid, bucket, sim,
