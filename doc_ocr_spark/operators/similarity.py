@@ -221,6 +221,28 @@ N_PROBE = int(_os.environ.get("SPARK_GRAFT_IVF_NPROBE", "4"))
 IVF_PROBE_MODE = _os.environ.get("SPARK_GRAFT_IVF_PROBE_MODE", "asym")
 
 
+def _ranked_assign(sims: DataFrame, p: int) -> DataFrame:
+    """(vec_id, bucket, sim, rank): per-vector top-``p`` centroids by
+    sim (centroid-id ascending on exact ties), rank RETAINED so both
+    the probe set (rank <= p) and the primary assignment (rank == 1)
+    can be filtered from this one subtree — the shuffle under the
+    window (which is where the n x k centroid-sims leg materializes)
+    is then a single ReusedExchange instead of two computations.
+    Measured at the sf1eq point (200k vectors, k=100): deriving the
+    asym index side from a separate max_by aggregation cost 122 s for
+    the full query vs 47 s for sym; sharing the ranked subtree is the
+    fix (see finding #30)."""
+    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("qid").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= p)
+        .select(
+            F.col("cid").alias("vec_id"), F.col("qid").alias("bucket"),
+            "sim", "rank",
+        )
+    )
+
+
 def _topp_assign(sims: DataFrame, p: int) -> DataFrame:
     """(vec_id, bucket, sim): per-vector top-``p`` centroids by sim
     (centroid-id ascending on exact ties).  p=1 routes through the
@@ -229,12 +251,7 @@ def _topp_assign(sims: DataFrame, p: int) -> DataFrame:
     so the window input is small by construction."""
     if p <= 1:
         return _argmax_assign(sims)
-    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("qid").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= p)
-        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("bucket"), "sim")
-    )
+    return _ranked_assign(sims, p).drop("rank")
 
 
 def _argmax_assign(sims: DataFrame) -> DataFrame:
@@ -283,15 +300,22 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash in dedup.py)."""
     emb = _emb_with_norms(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
-    assign = _topp_assign(_sims(cents, emb), N_PROBE).select("vec_id", "bucket")
-    withb = emb.join(assign, "vec_id")
-    if IVF_PROBE_MODE == "asym":
+    if IVF_PROBE_MODE == "asym" and N_PROBE > 1:
         # standard IVF: the index side keeps primary buckets only; a
         # (q, c) pair can then match through at most ONE bucket, so no
-        # duplicate pairs reach the NN window
-        index_assign = _argmax_assign(_sims(cents, emb)).select("vec_id", "bucket")
-        cand = emb.join(index_assign, "vec_id")
+        # duplicate pairs reach the NN window.  Probe (rank <= P) and
+        # index (rank == 1) both filter the SAME ranked subtree, so the
+        # expensive centroid-sims leg + its shuffle run once
+        # (ReusedExchange under the two windows — see _ranked_assign).
+        ranked = _ranked_assign(_sims(cents, emb), N_PROBE)
+        withb = emb.join(ranked.select("vec_id", "bucket"), "vec_id")
+        cand = emb.join(
+            ranked.filter(F.col("rank") == 1).select("vec_id", "bucket"),
+            "vec_id",
+        )
     else:
+        assign = _topp_assign(_sims(cents, emb), N_PROBE).select("vec_id", "bucket")
+        withb = emb.join(assign, "vec_id")
         cand = withb
     # Self-join via .alias(): in 'sym' mode BOTH sides are the
     # *identical* subtree, so Spark's ReuseExchange runs the whole
