@@ -219,6 +219,12 @@ SELECT qid, cid, sim, rank FROM (
 # (P, mode) combination.
 N_PROBE = int(_os.environ.get("SPARK_GRAFT_IVF_NPROBE", "4"))
 IVF_PROBE_MODE = _os.environ.get("SPARK_GRAFT_IVF_PROBE_MODE", "asym")
+if IVF_PROBE_MODE not in ("sym", "asym"):
+    # a typo ('assym', 'SYM') would otherwise silently run the
+    # non-default shape — the dispatch below tests == "asym" only
+    raise ValueError(
+        f"SPARK_GRAFT_IVF_PROBE_MODE={IVF_PROBE_MODE!r}: must be 'sym' or 'asym'"
+    )
 
 
 def _ranked_assign(sims: DataFrame, p: int) -> DataFrame:

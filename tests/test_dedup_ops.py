@@ -303,3 +303,21 @@ def test_lang_id_accuracy_floor_on_constructed_ground_truth(spark):
         r["n"] for r in acc.values()
     )
     assert overall >= 0.95, acc
+
+
+def test_ivf_probe_mode_typo_raises_at_import():
+    """A mode typo must fail loudly at import — the dispatch tests
+    == 'asym' only, so 'assym' would silently run the sym shape."""
+    import importlib
+    import os
+
+    import doc_ocr_spark.operators.similarity as S
+
+    os.environ["SPARK_GRAFT_IVF_PROBE_MODE"] = "assym"
+    try:
+        with pytest.raises(ValueError, match="must be 'sym' or 'asym'"):
+            importlib.reload(S)
+    finally:
+        os.environ.pop("SPARK_GRAFT_IVF_PROBE_MODE")
+        importlib.reload(S)
+    assert S.IVF_PROBE_MODE in ("sym", "asym")
