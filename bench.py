@@ -222,6 +222,10 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
         "knobs": {
             "lsh_planes": _sim.N_PLANES,
             "ivf_centroids": _sim.N_CENTROIDS,
+            # round 5: these two moved ann_nn_within_bucket's headline
+            # time on purpose (recall 0.24 -> 0.65; finding #30)
+            "ivf_nprobe": _sim.N_PROBE,
+            "ivf_probe_mode": _sim.IVF_PROBE_MODE,
         },
     }
 
