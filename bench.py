@@ -221,6 +221,7 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
         "extract_bytes_per_sec": round(ext["bytes_per_sec"], 1),
         "knobs": {
             "lsh_planes": _sim.N_PLANES,
+            "lsh_bands": _sim.N_BANDS,
             "ivf_centroids": _sim.N_CENTROIDS,
             # round 5: these two moved ann_nn_within_bucket's headline
             # time on purpose (recall 0.24 -> 0.65; finding #30)

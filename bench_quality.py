@@ -94,6 +94,40 @@ def main() -> None:
     exact.unpersist()
     ann = None
 
+    # --- embedding near-dup pair recall: OR-banding sweep ----------------
+    emb_exact = (
+        similarity._sims(emb, emb)
+        .filter(F.col("qid") < F.col("cid"))
+        .filter(F.col("sim") >= similarity.DEDUP_TAU)
+        .select("qid", "cid")
+        .persist()
+    )
+    n_emb_exact = emb_exact.count()
+    default_bands = similarity.N_BANDS
+    band_rows = {}
+    for b in (1, 2, 4, 8):
+        similarity.N_BANDS = b
+        similarity._SIGNS = similarity._hyperplane_signs(similarity.N_PLANES * b)
+        t0 = time.monotonic()
+        lsh_emb = similarity.embedding_cosine_dedup(spark, sf_dir).select(
+            F.col("vec_a").alias("qid"), F.col("vec_b").alias("cid")
+        )
+        n_pairs = lsh_emb.count()
+        band_rows[b] = {
+            "pairs": n_pairs,
+            "recall": round(
+                lsh_emb.join(emb_exact, ["qid", "cid"]).count()
+                / max(n_emb_exact, 1),
+                4,
+            ),
+            "sec": round(time.monotonic() - t0, 2),
+        }
+    similarity.N_BANDS = default_bands
+    similarity._SIGNS = similarity._hyperplane_signs(
+        similarity.N_PLANES * default_bands
+    )
+    emb_exact.unpersist()
+
     # --- Language-ID accuracy --------------------------------------------
     # (a) REAL ground truth: the deterministic constructed-snippet corpus
     # (VERDICT r04 item 3) — per-language accuracy with a floor asserted in
@@ -163,6 +197,10 @@ def main() -> None:
         "lsh_pair_recall": round(n_found / max(n_exact, 1), 4),
         "exact_pairs": n_exact,
         "lsh_pairs": n_lsh,
+        "emb_dedup_bands_sweep": band_rows,
+        "emb_dedup_bands_default": default_bands,
+        "emb_dedup_exact_pairs": n_emb_exact,
+        "emb_dedup_tau": similarity.DEDUP_TAU,
         "n_minhash": dedup.N_MINHASH,
         "jaccard_threshold": dedup.JACCARD_THRESHOLD,
         "simhash_mean_hamming_neardup": round(float(dup_ham["m"] or 0), 3),

@@ -421,28 +421,86 @@ def _hyperplane_signs(n_planes: int, dim: int = DIM, seed: int = 20240816):
 # for recall, as the docstring below notes).
 N_PLANES = int(_os.environ.get("SPARK_GRAFT_LSH_PLANES", "4"))
 DEDUP_TAU = 0.35
-_SIGNS = _hyperplane_signs(N_PLANES)
+# OR-banding (round 5): B independent plane-sets; a pair is a candidate
+# when it collides in ANY band, then every candidate is cosine-verified
+# (precision stays 1.0 by construction).  Single-band recall at the tau
+# boundary is (1 - theta/pi)^planes ~ 0.14 measured at sf0.1 — the
+# banding union is the standard recall lever (same construction as
+# MinHash-LSH banding in dedup.py).  Bands are map-only projections;
+# only the DISTINCT over candidate pairs shuffles, bounded by the
+# candidate count.  Default picked from the measured recall/cost curve
+# in BENCH/quality_r05.json (finding #31); floor asserted in tests.
+N_BANDS = int(_os.environ.get("SPARK_GRAFT_LSH_BANDS", "4"))
+_SIGNS = _hyperplane_signs(N_PLANES * N_BANDS)
+
+
+def _band_bucket_col(b: int):
+    """In-row bucket id of band ``b``: sign bits of its N_PLANES dots
+    (planes [b*N_PLANES, (b+1)*N_PLANES) of the shared signs table)."""
+    bucket = None
+    for i in range(N_PLANES):
+        signs_j = F.array(*[F.lit(v) for v in _SIGNS[b * N_PLANES + i]])
+        dj = _dot_scaled(F.col("embedding"), signs_j)
+        bit = F.when(dj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
 
 
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane LSH (SimHash over the
-    vector space): bucket = sign bits of 4 random-hyperplane dots, pair
-    join WITHIN a bucket only, cosine >= tau verify.  The signed dot is
-    summed as scaled longs, so the sign test is an exact integer
-    comparison — bucket assignment is bit-identical across engines.
+    vector space): per band, bucket = sign bits of N_PLANES
+    random-hyperplane dots, pair join WITHIN a bucket only; candidates
+    from all N_BANDS bands are unioned, deduped, and cosine >= tau
+    verified.  The signed dot is summed as scaled longs, so the sign
+    test is an exact integer comparison — bucket assignment is
+    bit-identical across engines.
 
-    Scale: the pair join is bounded by bucket size (vs n^2); more planes
-    -> smaller buckets; multiple plane-sets OR'd raise recall (classic
-    banding), all expressible as unions of this same query.  Bucketing
-    is a map-only projection (in-row plane dots, no explode/agg)."""
+    Scale: each band's pair join is bounded by bucket size (vs n^2);
+    more planes -> smaller buckets (precision of the candidate set),
+    more bands -> higher recall (classic OR-banding); the union's
+    DISTINCT shuffles only candidate pairs."""
     emb = _emb_with_norms(spark, sf_dir)
-    bucket = None
-    for j in range(N_PLANES):
-        signs_j = F.array(*[F.lit(v) for v in _SIGNS[j]])
-        dj = _dot_scaled(F.col("embedding"), signs_j)
-        bit = F.when(dj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    withb = emb.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
+    if N_BANDS > 1:
+        cand = None
+        for b in range(N_BANDS):
+            withb_b = emb.select("vec_id", _band_bucket_col(b).alias("bucket"))
+            p = (
+                withb_b.alias("q")
+                .join(
+                    withb_b.alias("c"),
+                    (F.col("q.bucket") == F.col("c.bucket"))
+                    & (F.col("q.vec_id") < F.col("c.vec_id")),
+                )
+                .select(
+                    F.col("q.vec_id").alias("qid"),
+                    F.col("c.vec_id").alias("cid"),
+                )
+            )
+            cand = p if cand is None else cand.unionByName(p)
+        pairs = (
+            cand.distinct()
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"),
+                    F.col("nrm").alias("qn"),
+                ),
+                "qid",
+            )
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("ce"),
+                    F.col("nrm").alias("cn"),
+                ),
+                "cid",
+            )
+        )
+        sims = _pair_sims_exploded(pairs, [])
+        return sims.filter(F.col("sim") >= DEDUP_TAU).select(
+            F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "sim"
+        )
+    withb = emb.select("vec_id", "embedding", "nrm", _band_bucket_col(0).alias("bucket"))
     # identical-subtree self-join (finding 15).  At bench SF the planner
     # broadcasts one side (no shuffle pair to dedupe), but at corpus
     # scale this becomes a sort-merge self-join on bucket and the
@@ -474,16 +532,56 @@ def _signs_sql_list(j: int) -> str:
     return "[" + ", ".join(str(v) for v in _SIGNS[j]) + "]"
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_dot_scaled_sql('embedding', f'sgn{j}')} >= 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(N_PLANES)
-)
+def _band_bucket_sql(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_dot_scaled_sql('embedding', f'sgn{b * N_PLANES + i}')} >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
 
-EMB_DEDUP_SQL = f"""
+
+_N_SGN = N_PLANES * N_BANDS
+_SGN_CTE = "sgn AS (SELECT " + ", ".join(
+    f"{_signs_sql_list(j)}::DOUBLE[] AS sgn{j}" for j in range(_N_SGN)
+) + ")"
+
+if N_BANDS > 1:
+    _CAND_UNION = "\n  UNION ALL\n".join(
+        f"  SELECT q.vec_id AS qid, c.vec_id AS cid\n"
+        f"  FROM withb q JOIN withb c"
+        f" ON q.bucket_{b} = c.bucket_{b} AND q.vec_id < c.vec_id"
+        for b in range(N_BANDS)
+    )
+    EMB_DEDUP_SQL = f"""
 WITH {_NORMS_CTE},
-sgn AS (SELECT {", ".join(f"{_signs_sql_list(j)}::DOUBLE[] AS sgn{j}" for j in range(N_PLANES))}),
+{_SGN_CTE},
 withb AS (
-  SELECT vec_id, embedding, nrm, {_BUCKET_SQL} AS bucket
+  SELECT vec_id, embedding, nrm,
+         {", ".join(f"{_band_bucket_sql(b)} AS bucket_{b}" for b in range(N_BANDS))}
+  FROM emb, sgn
+),
+cand AS (
+  SELECT DISTINCT qid, cid FROM (
+{_CAND_UNION}
+  )
+),
+dsims AS (
+  SELECT p.qid, p.cid,
+         round((CAST({_dot_scaled_sql("q.embedding", "c.embedding")} AS DOUBLE) / {_S_SQL})
+               / (q.nrm * c.nrm), 6) AS sim
+  FROM cand p
+  JOIN emb q ON q.vec_id = p.qid
+  JOIN emb c ON c.vec_id = p.cid
+)
+SELECT qid AS vec_a, cid AS vec_b, sim
+FROM dsims WHERE sim >= {DEDUP_TAU}
+"""
+else:
+    EMB_DEDUP_SQL = f"""
+WITH {_NORMS_CTE},
+{_SGN_CTE},
+withb AS (
+  SELECT vec_id, embedding, nrm, {_band_bucket_sql(0)} AS bucket
   FROM emb, sgn
 ),
 dsims AS (
