@@ -177,6 +177,7 @@ def run_extraction(
     resume: bool = False,
     templates: list[dict] | None = None,
     exchange: str = "post",
+    input_format: str = "parquet",
 ) -> dict:
     """Returns run metrics (docs, bytes, wall seconds, buckets run).
 
@@ -191,9 +192,19 @@ def run_extraction(
       sub-split) before the kernel — for sources whose split layout
       is degenerate (one giant row group / unsplittable files), where
       the explicit url-hash exchange is the only way to spread work.
+
+    ``input_format='warc'`` reads raw WARC/WARC.gz archives
+    (sources/warc.py, one task per file — Common Crawl's natural
+    parallelism) instead of a parquet pages table; everything
+    downstream (kernel, exchange, lineage, resume) is identical.
     """
     t0 = time.monotonic()
-    corpus = spark.read.parquet(input_path)
+    if input_format == "warc":
+        from doc_ocr_spark.sources.warc import read_warc
+
+        corpus = read_warc(spark, input_path)
+    else:
+        corpus = spark.read.parquet(input_path)
     corpus = with_bucket(corpus.select("url", "html"), n_buckets)
 
     if not resume and completed_buckets(spark, output):
@@ -296,6 +307,9 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--exchange", choices=["pre", "post"], default="post")
+    ap.add_argument(
+        "--input-format", choices=["parquet", "warc"], default="parquet"
+    )
     args = ap.parse_args()
     spark = get_spark("doc_ocr_spark.job", master=args.master)
     m = run_extraction(
@@ -305,6 +319,7 @@ def main() -> None:
         n_buckets=args.buckets,
         resume=args.resume,
         exchange=args.exchange,
+        input_format=args.input_format,
     )
     rate = m["docs"] / m["wall_s"] if m["wall_s"] else 0.0
     print(

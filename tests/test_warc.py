@@ -1,0 +1,178 @@
+"""WARC source (ISO 28500): round-trip, foreign-wire tolerance, and the
+golden gate — the extraction kernel over a WARC-read corpus must match
+the sequential golden run byte-for-byte (same invariant as the parquet
+path, test_spark_job.py)."""
+
+import gzip
+import io
+
+import pytest
+
+from doc_ocr_spark.datagen import generate_pages
+from doc_ocr_spark.golden import compare_to_golden, golden_rows
+from doc_ocr_spark.kernel import apply_kernel
+from doc_ocr_spark.sources.warc import (
+    encode_warc_record,
+    http_payload,
+    iter_warc_pages,
+    iter_warc_records,
+    read_warc,
+    write_warc_files,
+)
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    pages = generate_pages(N_DOCS, seed=42)
+    # mixed layout: 2 gzipped (per-record members) + 2 plain, to cover
+    # both wire forms in one read
+    write_warc_files(pages[: N_DOCS // 2], str(d), n_files=2, compress=True)
+    write_warc_files(
+        pages[N_DOCS // 2 :], str(d / "plain"), n_files=2, compress=False
+    )
+    return str(d), pages
+
+
+def test_warc_roundtrip_all_fields(spark, warc_dir):
+    d, pages = warc_dir
+    got = {
+        r.url: (r.warc_ts, bytes(r.html) if r.html is not None else None)
+        for r in read_warc(spark, d).collect()
+    }
+    assert len(got) == N_DOCS
+    from datetime import timezone
+
+    for p in pages:
+        ts, html = got[p["url"]]
+        # datagen timestamps are tz-aware UTC; Spark collects naive UTC
+        # (session tz) — same convention the parquet path produces
+        exp = p["warc_ts"].astimezone(timezone.utc).replace(tzinfo=None)
+        assert ts == exp, p["url"]
+        assert html == p["html"], p["url"]
+
+
+def test_warc_kernel_matches_golden(spark, warc_dir):
+    """The north-star path end-to-end: WARC files -> pages schema ->
+    Arrow extraction kernel == sequential golden, byte-identical."""
+    d, _ = warc_dir
+    corpus = read_warc(spark, d).select("url", "html")
+    rows = [r.asDict(recursive=True) for r in apply_kernel(corpus).collect()]
+    assert compare_to_golden(rows, golden_rows(N_DOCS, seed=42)) == []
+
+
+def test_warc_skips_non_response_records():
+    page = generate_pages(1, seed=42)[0]
+    rec = encode_warc_record(page["url"], page["warc_ts"], page["html"])
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.test/\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    got = list(iter_warc_pages(io.BytesIO(info + req + rec)))
+    assert [u for u, _, _ in got] == [page["url"]]
+
+
+def test_warc_lf_only_headers_and_chunked_body():
+    """Foreign writers: LF-only header lines, and an HTTP body with
+    chunked transfer-encoding (the reader must de-chunk)."""
+    body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.1\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: https://lf.test/a\n"
+        b"WARC-Date: 2024-06-01T12:30:00Z\n"
+        + f"Content-Length: {len(http)}\n".encode()
+        + b"\n"
+        + http
+    )
+    got = list(iter_warc_pages(io.BytesIO(rec)))
+    assert len(got) == 1
+    url, ts, payload = got[0]
+    assert url == "https://lf.test/a"
+    assert ts.isoformat() == "2024-06-01T12:30:00"
+    assert payload == b"hello world"
+
+
+def test_warc_resource_record_block_passes_through():
+    """A resource record (no HTTP envelope) yields its block verbatim."""
+    blob = b"\x89PNG fake bytes"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://r.test/img\r\n"
+        + f"Content-Length: {len(blob)}\r\n".encode()
+        + b"\r\n"
+        + blob
+    )
+    (_, _, payload), = iter_warc_pages(io.BytesIO(rec))
+    assert payload == blob
+
+
+def test_warc_truncated_block_raises():
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t.test/\r\nContent-Length: 100\r\n\r\nshort"
+    )
+    with pytest.raises(ValueError, match="truncated WARC block"):
+        list(iter_warc_records(io.BytesIO(rec)))
+    with pytest.raises(ValueError, match="not a WARC record"):
+        list(iter_warc_records(io.BytesIO(b"HTTP/1.1 200 OK\r\n\r\n")))
+
+
+def test_warc_gzip_members_concatenate():
+    """Per-record gzip members (the spec's .warc.gz layout) stream as
+    one archive; empty html (Content-Length 0 payload) round-trips."""
+    pages = generate_pages(8, seed=42)
+    buf = b"".join(
+        gzip.compress(
+            encode_warc_record(p["url"], p["warc_ts"], p["html"]), mtime=0
+        )
+        for p in pages
+    )
+    got = list(iter_warc_pages(gzip.GzipFile(fileobj=io.BytesIO(buf))))
+    assert [u for u, _, _ in got] == [p["url"] for p in pages]
+    assert [h for _, _, h in got] == [p["html"] for p in pages]
+
+
+def test_http_payload_strip_variants():
+    assert http_payload(b"HTTP/1.1 200 OK\r\nA: b\r\n\r\nBODY") == b"BODY"
+    assert http_payload(b"HTTP/1.0 404 NF\n\n") == b""
+    assert http_payload(b"not-http at all") == b"not-http at all"
+
+
+def test_read_warc_empty_dir(spark, tmp_path):
+    df = read_warc(spark, str(tmp_path / "nothing"))
+    assert df.count() == 0
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_job_end_to_end_from_warc(spark, warc_dir, tmp_path):
+    """The full batch job over a WARC input: kernel -> salted exchange
+    -> partitioned write + lineage, resume included — identical
+    protocol to the parquet path, different source format."""
+    from doc_ocr_spark.job import completed_buckets, run_extraction
+
+    d, _ = warc_dir
+    out = str(tmp_path / "out")
+    m = run_extraction(spark, d, out, n_buckets=8, input_format="warc")
+    assert m["docs"] == N_DOCS
+    result = spark.read.parquet(out)
+    assert result.count() == N_DOCS
+    assert set(completed_buckets(spark, out)) == set(range(8))
+    rows = [
+        r.asDict(recursive=True)
+        for r in result.drop("part_bucket", "bytes_in", "extractor_version").collect()
+    ]
+    assert compare_to_golden(rows, golden_rows(N_DOCS, seed=42)) == []
+    # resume over WARC input is the same no-op
+    m2 = run_extraction(
+        spark, d, out, n_buckets=8, resume=True, input_format="warc"
+    )
+    assert m2["docs"] == 0
