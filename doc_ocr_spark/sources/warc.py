@@ -262,16 +262,18 @@ def write_warc_files(
     out_dir: str,
     n_files: int = 3,
     compress: bool = True,
+    prefix: str = "part",
 ) -> list[str]:
     """Write ``pages`` (dicts with url/warc_ts/html) round-robin across
     ``n_files`` WARC files; per-record gzip members when ``compress``
-    (the spec's and Common Crawl's layout).  Returns the file paths."""
+    (the spec's and Common Crawl's layout).  Returns the file paths.
+    ``prefix`` names the files (distinct waves can land in one dir)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.gz" if compress else ".warc"
     paths = [
-        os.path.join(out_dir, f"part-{k:03d}{suffix}") for k in range(n_files)
+        os.path.join(out_dir, f"{prefix}-{k:03d}{suffix}") for k in range(n_files)
     ]
     handles = [open(p, "wb") for p in paths]
     try:

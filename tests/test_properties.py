@@ -141,3 +141,39 @@ def test_merge_tokens_preserves_text_multiset(spec, max_x_gap):
     toks = sorted(_tokens_from_spec(spec), key=lambda t: t.x1)
     merged = merge_tokens(toks, max_x_gap=max_x_gap, merge_single_char=False)
     assert "".join(t.text for t in merged) == "".join(t.text for t in toks)
+
+
+# -- WARC codec round-trip ---------------------------------------------------
+
+_warc_url = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=60,
+).map(lambda s: "https://h.test/" + s)
+_warc_payload = st.binary(max_size=400)  # arbitrary bytes: \r\n\r\n, gzip
+# magic, WARC/ prefixes inside payloads must all round-trip intact
+
+
+@given(pages=st.lists(st.tuples(_warc_url, _warc_payload), max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_warc_encode_parse_roundtrip(pages):
+    """Content-Length framing must make ANY payload byte-safe —
+    including payloads containing record separators, header-block
+    terminators, or 'WARC/' magic."""
+    import gzip as _gzip
+    import io
+    from datetime import datetime
+
+    from doc_ocr_spark.sources.warc import encode_warc_record, iter_warc_pages
+
+    ts = datetime(2024, 3, 1, 7, 5, 9)
+    raw = b"".join(encode_warc_record(u, ts, b) for u, b in pages)
+    got = list(iter_warc_pages(io.BytesIO(raw)))
+    assert [(u, b) for u, _, b in got] == pages
+    assert all(t == ts for _, t, _ in got)
+    # and through per-record gzip members (the .warc.gz layout)
+    gz = b"".join(
+        _gzip.compress(encode_warc_record(u, ts, b), mtime=0) for u, b in pages
+    )
+    got2 = list(iter_warc_pages(_gzip.GzipFile(fileobj=io.BytesIO(gz))))
+    assert [(u, b) for u, _, b in got2] == pages

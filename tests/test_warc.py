@@ -176,3 +176,39 @@ def test_job_end_to_end_from_warc(spark, warc_dir, tmp_path):
         spark, d, out, n_buckets=8, resume=True, input_format="warc"
     )
     assert m2["docs"] == 0
+
+
+def test_streaming_ingest_from_arriving_warc_archives(spark, tmp_path):
+    """Incremental ingest straight off the crawl's wire format: wave 1
+    of .warc.gz archives is extracted, then wave 2 ARRIVES and only the
+    new files are processed (checkpoint); final output is golden
+    byte-identical to the sequential run over all pages."""
+    from doc_ocr_spark.streaming import start_incremental_extraction
+
+    pages = generate_pages(40, seed=42)
+    indir = tmp_path / "in"
+    write_warc_files(pages[:20], str(indir), n_files=2, compress=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = start_incremental_extraction(
+        spark, str(indir), out, ckpt,
+        n_buckets=4, max_files_per_trigger=1, source_format="warc",
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 20
+    # wave 2 lands in the SAME watched dir (plain .warc this time; the
+    # file stream source does not recurse into subdirectories)
+    write_warc_files(
+        pages[20:], str(indir), n_files=2, compress=False, prefix="wave2"
+    )
+    q2 = start_incremental_extraction(
+        spark, str(indir), out, ckpt,
+        n_buckets=4, max_files_per_trigger=1, source_format="warc",
+    )
+    q2.awaitTermination(120)
+    rows = [
+        r.asDict(recursive=True)
+        for r in spark.read.parquet(out)
+        .drop("part_bucket", "bytes_in", "extractor_version", "batch_id")
+        .collect()
+    ]
+    assert compare_to_golden(rows, golden_rows(40, seed=42)) == []
