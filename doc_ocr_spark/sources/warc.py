@@ -114,10 +114,12 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def http_payload(block: bytes) -> bytes:
-    """Strip the HTTP response head from a WARC response block (and
-    undo chunked transfer-encoding when advertised).  Blocks that do
-    not start with an HTTP status line (resource/conversion records)
-    pass through whole."""
+    """Strip the HTTP response head from a WARC response block, undoing
+    chunked transfer-encoding and gzip Content-Encoding when the head
+    advertises them (both appear in real crawls; transfer-encoding is
+    outermost, so it is undone first).  Blocks that do not start with
+    an HTTP status line (resource/conversion records) pass through
+    whole."""
     if not block.startswith(b"HTTP/"):
         return block
     head, sep, body = block.partition(b"\r\n\r\n")
@@ -125,8 +127,14 @@ def http_payload(block: bytes) -> bytes:
         head, sep, body = block.partition(b"\n\n")
         if not sep:
             return b""  # headers only, no payload
-    if b"chunked" in head.lower().partition(b"transfer-encoding")[2][:200]:
+    low = head.lower()
+    if b"chunked" in low.partition(b"transfer-encoding")[2][:200]:
         body = _dechunk(body)
+    if b"gzip" in low.partition(b"content-encoding")[2][:200]:
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass  # advertised but not actually gzipped: keep raw bytes
     return body
 
 

@@ -212,3 +212,25 @@ def test_streaming_ingest_from_arriving_warc_archives(spark, tmp_path):
         .collect()
     ]
     assert compare_to_golden(rows, golden_rows(40, seed=42)) == []
+
+
+def test_http_content_encoding_gzip_payload():
+    """Real crawls carry gzip Content-Encoding payloads; chunked
+    transfer-encoding wraps OUTSIDE content-encoding and is undone
+    first.  An advertised-but-raw body stays raw (tolerant)."""
+    plain = b"<html>compressed page</html>"
+    gz = gzip.compress(plain, mtime=0)
+    rec = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+    assert http_payload(rec) == plain
+    # chunked OUTSIDE gzip
+    chunked = (
+        f"{len(gz):x}".encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    rec2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert http_payload(rec2) == plain
+    # advertised but not actually gzipped -> raw bytes, no crash
+    rec3 = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gz"
+    assert http_payload(rec3) == b"not gz"
