@@ -227,6 +227,7 @@ def run(sf_dir: str, cpus: int, include_operators: bool = True) -> dict:
             # time on purpose (recall 0.24 -> 0.65; finding #30)
             "ivf_nprobe": _sim.N_PROBE,
             "ivf_probe_mode": _sim.IVF_PROBE_MODE,
+            "ivf_refine": _sim.IVF_REFINE,
         },
     }
 

@@ -193,6 +193,7 @@ def main() -> None:
         "ann_probe_grid": nprobe_rows,
         "ivf_nprobe_default": default_nprobe,
         "ivf_probe_mode_default": default_mode,
+        "ivf_refine_default": similarity.IVF_REFINE,
         "ivf_centroids": similarity.N_CENTROIDS,
         "lsh_pair_recall": round(n_found / max(n_exact, 1), 4),
         "exact_pairs": n_exact,

@@ -219,6 +219,19 @@ SELECT qid, cid, sim, rank FROM (
 # (P, mode) combination.
 N_PROBE = int(_os.environ.get("SPARK_GRAFT_IVF_NPROBE", "4"))
 IVF_PROBE_MODE = _os.environ.get("SPARK_GRAFT_IVF_PROBE_MODE", "asym")
+# Lloyd refinement of the IVF centroids before assignment (round 5,
+# finding #32): the seeded centroids (vec_id < k) are a deterministic
+# stand-in for a k-means fit; refining them with R Lloyd rounds before
+# the bucket assignment raises recall at ZERO query-time cost — the
+# pair-join work is unchanged, only the fit (n x k dots per round +
+# a (k x DIM)-cell agg) runs up front, and at corpus scale the fit is
+# the same one-pass cost as the assignment itself.  Measured asym P=4
+# recall@1: sf0.1 0.655 -> 0.690 -> 0.697 and sf0.001 0.646 -> 0.728
+# -> 0.746 at R=0/1/2.  Default 1; the oracle SQL unrolls the same
+# rounds (exactness discipline: scaled-long sums, fixed-order double
+# division — proven by ann_ivf_kmeans' parity), so parity holds at any
+# (P, mode, R).
+IVF_REFINE = int(_os.environ.get("SPARK_GRAFT_IVF_REFINE", "1"))
 if IVF_PROBE_MODE not in ("sym", "asym"):
     # a typo ('assym', 'SYM') would otherwise silently run the
     # non-default shape — the dispatch below tests == "asym" only
@@ -298,15 +311,106 @@ SELECT cid AS vec_id, qid AS bucket, sim FROM (
 """
 
 
+def _lloyd_cents(emb: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` Lloyd iterations from the seeded centroids:
+    (cid, carr array<double>).  Same exactness discipline as
+    ann_ivf_kmeans (scaled-long mean sums, fixed-order divisions), so
+    the refined arrays are bit-identical to the oracle's unrolled CTEs.
+    ``emb`` must carry (vec_id, embedding, nrm)."""
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("carr"),
+    )
+    for _ in range(rounds):
+        cents_n = cents.withColumn("cn", _norm_expr(F.col("carr")))
+        sims = emb.crossJoin(F.broadcast(cents_n)).select(
+            "vec_id",
+            "cid",
+            (
+                (_dot_scaled(F.col("embedding"), F.col("carr")).cast("double") / _S)
+                / (F.col("nrm") * F.col("cn"))
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cid").asc()
+        )
+        assign = (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        upd = (
+            assign.join(emb, "vec_id")
+            .select("cid", F.posexplode("embedding").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(
+                (
+                    F.sum(scaled_long(F.col("val"), _SM)).cast("double")
+                    / F.count(F.lit(1))
+                    / _SM
+                ).alias("cval")
+            )
+        )
+        cents = upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cval"))),
+                lambda s: s["cval"],
+            ).alias("carr")
+        )
+    return cents
+
+
+def _refined_ranked(emb: DataFrame, p: int) -> DataFrame:
+    """(vec_id, bucket, rank): top-``p`` REFINED centroids per vector
+    (sim rounded 6dp before ranking, centroid-id ascending on ties —
+    both engines rank the identical rounded value).  No self-exclusion:
+    refined centroids are means, not corpus vectors."""
+    cents_n = _lloyd_cents(emb, IVF_REFINE).withColumn(
+        "cn", _norm_expr(F.col("carr"))
+    )
+    sims = emb.crossJoin(F.broadcast(cents_n)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            (_dot_scaled(F.col("embedding"), F.col("carr")).cast("double") / _S)
+            / (F.col("nrm") * F.col("cn")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= p)
+        .select("vec_id", F.col("cid").alias("bucket"), "rank")
+    )
+
+
 def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, the scale path end-to-end: IVF-assign every
-    vector to a bucket, then find each vector's nearest neighbour
-    WITHIN its bucket only.  At 100 TB the pair join is bounded by
-    bucket size instead of n^2 (the embedding analogue of LSH-banded
-    MinHash in dedup.py)."""
+    vector to a bucket (Lloyd-refined centroids by default, finding
+    #32), then find each vector's nearest neighbour WITHIN its bucket
+    only.  At 100 TB the pair join is bounded by bucket size instead
+    of n^2 (the embedding analogue of LSH-banded MinHash in dedup.py)."""
     emb = _emb_with_norms(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
-    if IVF_PROBE_MODE == "asym" and N_PROBE > 1:
+    index_rank = 1 if (IVF_PROBE_MODE == "asym" and N_PROBE > 1) else N_PROBE
+    if IVF_REFINE > 0:
+        # refined centroids: probe (rank <= P) and index (rank <=
+        # index_rank) filter ONE ranked subtree — same ReusedExchange
+        # discipline as the seeded path below
+        ranked = _refined_ranked(emb, N_PROBE)
+        withb = emb.join(ranked.select("vec_id", "bucket"), "vec_id")
+        cand = (
+            withb
+            if index_rank == N_PROBE
+            else emb.join(
+                ranked.filter(F.col("rank") <= index_rank).select(
+                    "vec_id", "bucket"
+                ),
+                "vec_id",
+            )
+        )
+    elif IVF_PROBE_MODE == "asym" and N_PROBE > 1:
+        cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
         # standard IVF: the index side keeps primary buckets only; a
         # (q, c) pair can then match through at most ONE bucket, so no
         # duplicate pairs reach the NN window.  Probe (rank <= P) and
@@ -320,6 +424,7 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
         )
     else:
+        cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
         assign = _topp_assign(_sims(cents, emb), N_PROBE).select("vec_id", "bucket")
         withb = emb.join(assign, "vec_id")
         cand = withb
@@ -367,17 +472,76 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # index-side probe depth: primary-only in 'asym', top-P in 'sym'
-_INDEX_RANK = 1 if IVF_PROBE_MODE == "asym" else N_PROBE
+_INDEX_RANK = 1 if (IVF_PROBE_MODE == "asym" and N_PROBE > 1) else N_PROBE
 
-NN_BUCKET_SQL = f"""
-WITH {_NORMS_CTE}, {_sims_sql(f"< {N_CENTROIDS}")},
+
+def _lloyd_ctes(rounds: int) -> str:
+    """The unrolled Lloyd-refinement CTEs (cents0 .. cents{rounds}),
+    mirroring _kmeans_sql's formulas over the shared ``emb`` CTE."""
+    parts = [
+        f"""cents0 AS MATERIALIZED (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS carr
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""kassign{r} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY (CAST({_dot_scaled_sql("e.embedding", "c.carr")} AS DOUBLE) / {_S_SQL})
+                                       / (e.nrm * {_norm_sql("c.carr")}) DESC,
+                                       c.cid) AS rn
+    FROM emb e CROSS JOIN cents{r} c
+  ) WHERE rn = 1
+),
+upd{r} AS MATERIALIZED (
+  SELECT a.cid, t.i,
+         CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * {_SM_SQL}) AS BIGINT)) AS DOUBLE)
+           / count(*) / {_SM_SQL} AS cval
+  FROM embeddings e
+  JOIN kassign{r} a USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) t
+  GROUP BY a.cid, t.i
+),
+cents{r + 1} AS MATERIALIZED (
+  SELECT cid, list(cval ORDER BY i) AS carr
+  FROM upd{r} GROUP BY cid
+)""")
+    return ",\n".join(parts)
+
+
+def _nn_bucket_sql() -> str:
+    if IVF_REFINE > 0:
+        # ranked assignment against the REFINED centroid arrays: sim is
+        # rounded 6dp BEFORE ranking (both engines rank the identical
+        # rounded value; ties -> centroid id), no self-exclusion
+        ranked = f"""ranked AS (
+  SELECT vec_id, cid, rank FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round((CAST({_dot_scaled_sql("e.embedding", "c.carr")} AS DOUBLE) / {_S_SQL})
+                                       / (e.nrm * {_norm_sql("c.carr")}), 6) DESC,
+                                       c.cid) AS rank
+    FROM emb e CROSS JOIN cents{IVF_REFINE} c
+  ) WHERE rank <= {N_PROBE}
+)"""
+        probe = "SELECT vec_id, cid AS bucket FROM ranked"
+        cassign = f"SELECT vec_id, cid AS bucket FROM ranked WHERE rank <= {_INDEX_RANK}"
+        prelude = f"WITH {_NORMS_CTE},\n{_lloyd_ctes(IVF_REFINE)},\n{ranked},"
+    else:
+        prelude = f"""WITH {_NORMS_CTE}, {_sims_sql(f"< {N_CENTROIDS}")},
 ranked AS (
   SELECT qid, cid, sim,
          row_number() OVER (PARTITION BY cid ORDER BY sim DESC, qid) AS rank
   FROM sims
-),
-probe AS (SELECT cid AS vec_id, qid AS bucket FROM ranked WHERE rank <= {N_PROBE}),
-cassign AS (SELECT cid AS vec_id, qid AS bucket FROM ranked WHERE rank <= {_INDEX_RANK}),
+),"""
+        probe = f"SELECT cid AS vec_id, qid AS bucket FROM ranked WHERE rank <= {N_PROBE}"
+        cassign = f"SELECT cid AS vec_id, qid AS bucket FROM ranked WHERE rank <= {_INDEX_RANK}"
+    return f"""{prelude}
+probe AS ({probe}),
+cassign AS ({cassign}),
 withq AS (SELECT e.vec_id, e.embedding, e.nrm, a.bucket
           FROM emb e JOIN probe a USING (vec_id)),
 withc AS (SELECT e.vec_id, e.embedding, e.nrm, a.bucket
@@ -394,6 +558,9 @@ SELECT qid AS vec_id, bucket, cid AS nn_id, sim FROM (
   FROM bsims
 ) WHERE rank = 1
 """
+
+
+NN_BUCKET_SQL = _nn_bucket_sql()
 
 
 def _hyperplane_signs(n_planes: int, dim: int = DIM, seed: int = 20240816):

@@ -247,11 +247,12 @@ def test_winnow_overflow_guard_raises_loudly(spark, tmp_path):
 def test_ann_default_nprobe_recall_floor(spark):
     """VERDICT r04 item 1: the shipped multi-probe defaults must keep
     measured recall@1 of `ann_nn_within_bucket` >= 0.6 vs the exact
-    all-pairs NN — whatever the default (mode, nprobe) combination is
-    (round 5 ships asym/P=4: sf0.001 measures 0.616, vs 0.376/0.930
-    at asym P=2/8 and 0.232/0.620/0.984 at sym P=1/2/4 — deterministic
-    data + deterministic algorithm, so the number is stable).  A future
-    knob change cannot silently ship a low-recall default again."""
+    all-pairs NN — whatever the default (mode, nprobe, refine)
+    combination is (round 5 ships asym/P=4/refine=1: sf0.001 measures
+    0.728, vs 0.646 unrefined and 0.232/0.620/0.984 at sym P=1/2/4 —
+    deterministic data + deterministic algorithm, so the number is
+    stable).  A future knob change cannot silently ship a low-recall
+    default again."""
     from pyspark.sql import Window
 
     from doc_ocr_spark.operators import similarity as S
