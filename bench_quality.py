@@ -1,4 +1,4 @@
-"""Quality of the approximate scale paths, measured (round 4).
+"""Quality of the approximate scale paths, measured (rounds 4-5).
 
 The engine ships exact baselines next to every approximate operator;
 this bench quantifies what the approximation costs in RESULT quality,
@@ -6,7 +6,9 @@ not just wall time:
 
 - **ANN recall@1**: `ann_nn_within_bucket` (IVF-bucketed nearest
   neighbour) vs the exact all-pairs nearest neighbour derived from the
-  same similarity definition.  A query's answer counts as correct when
+  same similarity definition, swept over the (probe shape, P) grid at
+  the shipped refine default; plus the embedding near-dup OR-banding
+  sweep (finding #31).  A query's answer counts as correct when
   its in-bucket NN similarity equals the true NN similarity (ties in
   cosine are equivalent answers).
 - **LSH pair recall**: `minhash_lsh_pairs` (band-bucketed candidates,
@@ -16,7 +18,7 @@ not just wall time:
   shared by both sides so the comparison isolates the LSH banding.
 
 Usage: python bench_quality.py [sf_dir]  (default /root/testdata/sf0.1)
-Writes BENCH/quality_r04.json and prints one JSON line.
+Writes BENCH/quality_r05.json and prints one JSON line.
 """
 
 from __future__ import annotations
