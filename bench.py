@@ -76,6 +76,8 @@ EXTRA = [
     "streaming_asof_agg",
     "streaming_dedup",
     "customer_retention_setops",
+    "dup_span_flags",
+    "tfidf_top_terms",
 ]
 
 # synthetic extraction corpus size per SF (docs)

@@ -702,6 +702,105 @@ FROM comp c JOIN keep k USING (cluster_id)
 """
 
 
+# --- duplicated-span detection (round 5) ------------------------------------
+# The substring-level dedup signal from Lee et al. 2021 ("Deduplicating
+# Training Data Makes Language Models Better"), adapted to word-window
+# granularity: a span that occurs in MORE THAN ONE document is training
+# data the model will see repeatedly even after doc-level dedup keeps
+# one copy of each near-identical page (boilerplate, quoted passages,
+# syndicated paragraphs).  Per document we report how much of it is
+# made of such cross-document spans — the flagging pass that precedes
+# span REMOVAL in a real pipeline.
+#
+# Distinct from the existing family: ngram_jaccard/minhash measure
+# PAIRWISE document similarity, fingerprint_winnow selects a sketch;
+# this measures each span's CORPUS-WIDE document frequency.
+#
+# Scale shape (100 TB): spans travel as the same 44-bit md5 prefixes as
+# the shingle family (uniform shuffle keys by construction).  Three
+# partial-agg exchanges, no pair join anywhere: distinct (doc, span),
+# groupBy(span) for document frequency (map-side combine collapses a
+# boilerplate span to one row per map task — a ubiquitous span is agg
+# input, never join fan-out), then groupBy(doc) for the per-doc counts.
+# The df>=2 table joins back on the uniform hashed key; a hot span
+# contributes its df rows linearly (1:1 join against one df row).
+SPAN_WORDS = 8  # window width; docs shorter than this have no spans
+
+
+def _spans(docs: DataFrame, width: int = SPAN_WORDS) -> DataFrame:
+    """Distinct hashed ``width``-word windows (stride 1) per doc:
+    (doc_id, s).  Same key discipline as :func:`_shingles`."""
+    w = F.split(F.col("text"), " ")
+    window_text = F.concat_ws(
+        " ", *[F.element_at("w", F.col("i") + k) for k in range(width)]
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= width)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - width + 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.substring(F.md5(window_text), 1, SHINGLE_HASH_CHARS).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span statistics: of the doc's distinct
+    SPAN_WORDS-word windows, how many also occur in ANOTHER document
+    (corpus document frequency >= 2), and the ratio — the doc-level
+    flag a span-removal pass would consume."""
+    docs = load(spark, sf_dir, "documents")
+    sp = _spans(docs)
+    dupes = (
+        sp.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    n_spans = F.count(F.lit(1))
+    n_dup = F.count("df")  # non-null only on the df>=2 rows
+    return (
+        sp.join(dupes, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            (
+                F.floor(
+                    n_dup.cast("double") / n_spans * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+_SPAN_CAT = " || ' ' || ".join(f"w[i+{k}]" for k in range(SPAN_WORDS))
+
+SPANS_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_WORDS - 2})) AS i
+  FROM words WHERE len(w) >= {SPAN_WORDS}
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         substr(md5({_SPAN_CAT}), 1, {SHINGLE_HASH_CHARS}) AS s
+  FROM idx
+),
+dupes AS (SELECT s, count(*) AS df FROM spans GROUP BY s HAVING count(*) >= 2)
+SELECT doc_id, count(*) AS n_spans, count(df) AS n_dup_spans,
+  floor(CAST(count(df) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS dup_ratio
+FROM spans LEFT JOIN dupes USING (s)
+GROUP BY doc_id
+"""
+
+
 ORACLES = {
     "dedup_exact": EXACT_SQL,
     "ngram_jaccard_pairs": JACCARD_SQL,
@@ -709,6 +808,7 @@ ORACLES = {
     "simhash16": SIMHASH_SQL,
     "fingerprint_winnow": FINGERPRINT_SQL,
     "dedup_clusters": CLUSTERS_SQL,
+    "dup_span_flags": SPANS_SQL,
 }
 
 QUERIES = {
@@ -718,4 +818,5 @@ QUERIES = {
     "simhash16": simhash16,
     "fingerprint_winnow": fingerprint_winnow,
     "dedup_clusters": dedup_clusters,
+    "dup_span_flags": dup_span_flags,
 }

@@ -208,19 +208,15 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 ORACLES = {
-    "moving_avg_order_price": MOVING_AVG_SQL,
     "order_quantiles_by_priority": QUANTILES_SQL,
     "orders_status_pivot": PIVOT_SQL,
     "distinct_parts_per_supplier": DISTINCT_SQL,
-    "revenue_cube": CUBE_SQL,
 }
 
 QUERIES = {
-    "moving_avg_order_price": moving_avg_order_price,
     "order_quantiles_by_priority": order_quantiles_by_priority,
     "orders_status_pivot": orders_status_pivot,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
-    "revenue_cube": revenue_cube,
 }
 
 # Family-redundant demos retired from the driver registry (the harness
@@ -228,15 +224,25 @@ QUERIES = {
 # twin, semi-join ~ high_value_customers_in_subquery, and the batch
 # hourly window shares its EXACT oracle SQL with the streaming_hourly_agg
 # gate (streaming_ops.py) which also exercises F.window semantics.
+# Round 5 retires two more twins to free slots for dup_span_flags and
+# tfidf_top_terms: revenue_cube (CUBE is grouping-sets-of-all-subsets;
+# revenue_grouping_sets keeps the GROUPING SETS + grouping() surface
+# registered) and moving_avg_order_price (bounded-frame window; the
+# frame family stays registered via running_total_per_customer's
+# unbounded frame and running_blocks' frame state machine).
 # Still oracle-gated by tests/test_entry_parity.py and selfcheck.py.
 RETIRED_ORACLES = {
     "orders_status_unpivot": UNPIVOT_SQL,
     "active_customers_semi": SEMI_SQL,
     "events_hourly_windows": HOURLY_SQL,
+    "moving_avg_order_price": MOVING_AVG_SQL,
+    "revenue_cube": CUBE_SQL,
 }
 
 RETIRED_QUERIES = {
     "orders_status_unpivot": orders_status_unpivot,
     "active_customers_semi": active_customers_semi,
     "events_hourly_windows": events_hourly_windows,
+    "moving_avg_order_price": moving_avg_order_price,
+    "revenue_cube": revenue_cube,
 }

@@ -249,14 +249,110 @@ SELECT doc_id,
 FROM documents
 """
 
+
+# --- TF-IDF keyword extraction (round 5) -------------------------------------
+# Classic distinctive-term extraction over the corpus: per document the
+# TOP_TERMS highest-scoring terms by term frequency x inverse document
+# frequency.  Used in training pipelines for topic tagging, cluster
+# labeling, and per-domain vocabulary audits.
+#
+# Exactness discipline: the usual ln((N+1)/(df+1)) idf would introduce
+# the FIRST transcendental into the parity surface — Java's Math.log
+# and DuckDB's libm log are not guaranteed the same last ulp, and a
+# tie-adjacent score could rank differently per engine.  We rank by
+# the RATIONAL idf variant instead: score_scaled = tf * (N+1) * 1e6
+# div (df+1) — pure 64-bit integer arithmetic, bit-identical in both
+# engines, and a strictly monotone transform of tf * (N+1)/(df+1), so
+# the top-k SET and ORDER match what the ratio-idf ranking gives.
+#
+# Scale shape (100 TB): tf is a partial-agg groupBy on (doc, term);
+# df is a frameless count window OVER term on the tf table — measured
+# against the groupBy(term)+join-back form, the window moves the SAME
+# tf rows through the same term exchange but deletes a whole corpus
+# re-scan (the shared-subtree reuse broke when AQE broadcast one side;
+# 6 FileScans -> 2) and the join itself; a Zipf-hot term's window
+# partition is at most one row per containing doc (already tf-reduced)
+# and count-only, which WindowExec spills fine.  The top-k window
+# partitions by doc_id (bounded by per-doc vocabulary).  N arrives by
+# broadcasting a one-row count-only aggregate — no collect, no driver
+# loop.
+TOP_TERMS = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_TERMS`` terms per document by the rational-idf TF-IDF
+    score (ties: term ascending); score reported at 6 dp."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_scaled",
+            F.expr("tf * (n_docs + 1) * 1000000 div (df + 1)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("score_scaled").cast("double") / F.lit(1e6)).alias("score"),
+            "rank",
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (n_docs + 1) * 1000000 // (df + 1) AS score_scaled
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df,
+       CAST(score_scaled AS DOUBLE) / 1e6 AS score, rank
+FROM (
+  SELECT doc_id, term, tf, df, score_scaled,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_scaled DESC, term
+         ) AS rank
+  FROM scored
+) WHERE rank <= {TOP_TERMS}
+"""
+
 ORACLES = {
     "lang_id": LANG_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
 }
 
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
+    "tfidf_top_terms": tfidf_top_terms,
 }

@@ -351,3 +351,60 @@ def test_embedding_dedup_default_bands_recall_floor(spark):
     assert n_exact > 0
     recall = found / n_exact
     assert recall >= 0.4, f"recall at {S.N_BANDS} bands: {recall}"
+
+
+def test_dup_span_flags_cross_doc_spans_only(spark, tmp_path):
+    """dup_span_flags counts a span as duplicated only when it occurs
+    in ANOTHER document: two docs sharing an 8-word passage are both
+    flagged for exactly the shared windows; a unique doc reports 0;
+    within-doc repetition alone does not flag; docs under SPAN_WORDS
+    words drop out."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        "one two three " + shared + " four five six",
+        shared + " seven eight nine ten eleven twelve",
+        "completely unrelated words with no overlap at all anywhere here",
+        # within-doc repetition of an 8-gram unique to this doc
+        "rep one rep two rep three rep four rep one rep two rep three rep four",
+        "too short",
+    ]
+    sf = _docs_table(spark, tmp_path, texts)
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans) for r in D.dup_span_flags(spark, sf).collect()
+    }
+    # the shared passage has 10 words -> 3 common 8-grams; both carriers
+    # must flag exactly those (their other windows mix unique context)
+    assert got[0][1] == 3 and got[1][1] == 3, got
+    assert got[2] == (got[2][0], 0)
+    assert got[3][1] == 0, "within-doc repetition must not flag"
+    assert 4 not in got, "sub-width docs have no spans"
+    # ratio is n_dup/n_spans at 6dp
+    rows = {r.doc_id: r for r in D.dup_span_flags(spark, sf).collect()}
+    import math
+    for i in (0, 1, 2, 3):
+        exp = math.floor(rows[i].n_dup_spans / rows[i].n_spans * 1e6 + 0.5) / 1e6
+        assert rows[i].dup_ratio == exp
+
+
+def test_tfidf_ranks_distinctive_term_first(spark, tmp_path):
+    """A term unique to one doc must outrank the corpus-wide filler
+    terms in that doc, even at lower tf; ties break term-ascending."""
+    from doc_ocr_spark.operators import textstats as T
+
+    texts = [
+        "common common common zebra",
+        "common common common common",
+        "common common filler filler",
+        "common filler filler filler",
+    ]
+    sf = _docs_table(spark, tmp_path, texts)
+    # the tables lack the lang/source columns; tfidf only needs text
+    rows = T.tfidf_top_terms(spark, sf).collect()
+    doc0 = sorted([r for r in rows if r.doc_id == 0], key=lambda r: r.rank)
+    # zebra: tf=1, df=1 -> score 1*(5)*1e6//2 = 2.5; common: tf=3, df=4
+    # -> 3*5*1e6//5 = 3.0 -> common first, zebra second
+    assert [r.term for r in doc0][:2] == ["common", "zebra"]
+    assert doc0[0].score == 3.0 and doc0[1].score == 2.5
+    # doc 3: filler tf=3 df=2 -> 3*5e6//3 = 5.0 beats common tf=1 df=4 -> 1.0
+    doc3 = sorted([r for r in rows if r.doc_id == 3], key=lambda r: r.rank)
+    assert doc3[0].term == "filler" and doc3[0].score == 5.0

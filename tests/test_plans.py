@@ -277,3 +277,30 @@ def test_asof_join_is_union_sort_no_join(spark):
     plan = explain_str(asof_click_attribution(spark, "/root/testdata/sf0.001"), "simple")
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_dup_span_flags_single_corpus_scan(spark):
+    """The df>=2 side and the per-doc side must share the distinct
+    (doc, span) subtree: the final adaptive plan carries a
+    ReusedExchange and exactly ONE documents scan."""
+    from doc_ocr_spark.operators.dedup import dup_span_flags
+
+    df = dup_span_flags(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "ReusedExchange" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_tfidf_two_scans_no_join_on_term(spark):
+    """tfidf's df comes from a count window over the tf table (not a
+    groupBy+join re-derivation, which re-scanned the corpus when AQE
+    broadcast one side): final plan = the tf-stream scan plus the
+    count-only n_docs scan, and no hash join on term."""
+    from doc_ocr_spark.operators.textstats import tfidf_top_terms
+
+    df = tfidf_top_terms(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert plan.count("FileScan") == 2, plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
