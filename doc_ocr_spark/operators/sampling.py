@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doc_ocr_spark.operators import load
-from doc_ocr_spark.operators.dedup import _SHINGLES_CTE, _shingles
+from doc_ocr_spark.operators.dedup import MINHASH_SQL, _SHINGLES_CTE, _shingles
 from doc_ocr_spark.operators.textstats import LANG_SQL as LANG_SQL_REF
 from doc_ocr_spark.operators.textstats import lang_pred_col
 
@@ -304,7 +304,7 @@ CONTAM_MIN = 8  # shared shingles with the benchmark set
 REP_MAX = 0.2  # max top-bigram coverage
 
 
-CURATION_SIGNALS_VERSION = 1
+CURATION_SIGNALS_VERSION = 2  # round 5: + nd_loser (near-dup cluster) signal
 _SIGNALS_PARTS = 8  # doc_id-hash partitions of the materialized table
 
 
@@ -341,10 +341,26 @@ def curation_signals_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contam = contamination_flags(spark, sf_dir)
     rep = repetition_stats(spark, sf_dir).select("doc_id", "rep2_ratio")
+    # near-dup cluster LOSERS (round 5): the minhash-LSH pair graph's
+    # connected components, keeper = min doc_id per cluster — exact
+    # dedup alone keeps every perturbed near-copy; this signal lets the
+    # decision drop the copies while the keeper survives (the standard
+    # exact -> near-dup cascade).  dedup_clusters reads the staged pair
+    # table and label-propagates to fixpoint (eager localCheckpoint),
+    # so the signals BUILD pays it once like every other signal.
+    from doc_ocr_spark.operators.dedup import dedup_clusters
+
+    nd_losers = (
+        dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+        .withColumn("nd_loser", F.lit(True))
+    )
     return (
         base.join(contam, "doc_id", "left")
         .join(rep, "doc_id")
         .join(within_quota, "doc_id", "left")
+        .join(nd_losers, "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -355,6 +371,7 @@ def curation_signals_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
             "rep2_ratio",
             F.col("in_quota").isNotNull().alias("in_quota"),
+            F.col("nd_loser").isNotNull().alias("nd_loser"),
         )
     )
 
@@ -394,6 +411,9 @@ def curation_signals_path(spark: SparkSession, sf_dir: str) -> str:
         DOMAIN_QUOTA,
         _QUOTA_BUCKET,
         _TOP_BIGRAM,
+        # the near-dup loser signal inherits every minhash/LSH constant
+        # through the generating-SQL text (round 5)
+        MINHASH_SQL,
     )
 
     def build(tmp: str) -> None:
@@ -410,6 +430,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       benchmark   doc is part of the held-out eval set (never train on it)
       duplicate   exact-dup loser (a lower doc_id has identical text)
+      near_duplicate  minhash-LSH cluster loser (round 5: the keeper of
+                  each near-dup connected component survives; exact
+                  dedup alone keeps every perturbed near-copy)
       contaminated >= CONTAM_MIN shingles shared with the benchmark set
       lang_unknown language ID could not classify
       repetitive  top bigram covers > REP_MAX of the words
@@ -432,6 +455,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = (
         F.when(F.col("doc_id") < BENCH_DOCS, "benchmark")
         .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(F.col("nd_loser"), "near_duplicate")
         .when(F.col("n_shared") >= CONTAM_MIN, "contaminated")
         .when(F.col("lang_pred") == "und", "lang_unknown")
         .when(F.col("rep2_ratio") > REP_MAX, "repetitive")
@@ -447,11 +471,33 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_SQL = f"""
-WITH rep AS MATERIALIZED ({REPETITION_SQL}),
+WITH RECURSIVE rep AS MATERIALIZED ({REPETITION_SQL}),
 contam AS MATERIALIZED ({CONTAMINATION_SQL}),
 langp AS ({LANG_SQL_REF}),
 keepers AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
             FROM documents GROUP BY 1),
+mhp AS MATERIALIZED ({MINHASH_SQL}),
+nd_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mhp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mhp
+),
+nd_reach(a, b) AS (
+  SELECT a, b FROM nd_edges
+  UNION
+  SELECT r.a, e.b FROM nd_reach r JOIN nd_edges e ON r.b = e.a
+),
+nd_comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM nd_reach GROUP BY a
+),
+nd_losers AS (
+  SELECT c.doc_id
+  FROM nd_comp c
+  JOIN (SELECT cluster_id, min(doc_id) AS nd_keep
+        FROM nd_comp GROUP BY cluster_id) k USING (cluster_id)
+  WHERE c.doc_id <> k.nd_keep
+),
 curation_base AS (
   SELECT doc_id, source, md5(text) AS h,
          CAST({_DOC_BUCKET} AS BIGINT) AS bucket,
@@ -464,6 +510,7 @@ SELECT doc_id, reason = 'kept' AS keep, reason FROM (
   SELECT b.doc_id,
     CASE WHEN b.doc_id < {BENCH_DOCS} THEN 'benchmark'
          WHEN b.doc_id <> k.keep_id THEN 'duplicate'
+         WHEN n.doc_id IS NOT NULL THEN 'near_duplicate'
          WHEN coalesce(c.n_shared, 0) >= {CONTAM_MIN} THEN 'contaminated'
          WHEN l.lang_pred = 'und' THEN 'lang_unknown'
          WHEN r.rep2_ratio > {REP_MAX} THEN 'repetitive'
@@ -475,6 +522,7 @@ SELECT doc_id, reason = 'kept' AS keep, reason FROM (
   LEFT JOIN contam c ON b.doc_id = c.doc_id
   JOIN rep r ON b.doc_id = r.doc_id
   JOIN langp l ON b.doc_id = l.doc_id
+  LEFT JOIN nd_losers n ON b.doc_id = n.doc_id
 )
 """
 

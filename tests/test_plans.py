@@ -256,15 +256,23 @@ def test_curation_signals_frame_plan_shape(spark):
     shape: the quota signal's WindowGroupLimit partial pass survives
     (joined from domain_quota — an inline row_number would lose it and
     shuffle hot domains' full volume), contamination broadcasts, and no
-    Python UDF appears anywhere in the DAG."""
+    Python UDF appears anywhere in the DAG.  The round-5 near-dup
+    signal is allowed its two sort-merge joins: the losers join into
+    the base (doc_id-keyed, so its output partitioning feeds the
+    table's final repartition(doc_id) write) and dedup_clusters' own
+    labels-x-keepers join (cluster_id-keyed).  Both build sides derive
+    from the label-propagation fixpoint — a checkpointed RDD with no
+    stats for a broadcast estimate, and at 100 TB cluster losers can
+    be a large corpus fraction, so broadcasting would be wrong
+    anyway."""
     from doc_ocr_spark.operators.sampling import curation_signals_frame
 
     plan = explain_str(
         curation_signals_frame(spark, "/root/testdata/sf0.001"), "simple"
     )
-    assert plan.count("FileScan parquet") <= 6, plan
+    assert plan.count("FileScan parquet") <= 7, plan
     assert "WindowGroupLimit" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") <= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 

@@ -248,3 +248,37 @@ def test_stage_dir_override_used_end_to_end(spark, tmp_path, monkeypatch):
     assert all(
         str(tmp_path / "shared") in f or "/testdata/" in f for f in files
     ), files
+
+
+def test_curation_near_duplicate_reason_keeps_cluster_keeper(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 cascade semantics on a constructed corpus: an EXACT-dup
+    loser drops as 'duplicate', a minhash-cluster loser (perturbed
+    near-copy) drops as 'near_duplicate', and the cluster KEEPER (min
+    doc_id) is never dropped by either dedup rule — exact dedup alone
+    would have kept every near-copy."""
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from doc_ocr_spark.operators.sampling import corpus_curation
+
+    base = "the quick brown fox jumps over one lazy dog near the old river bank today"
+    rows = []
+    # doc_id < BENCH_DOCS(20) is the benchmark slice; distinct vocab so
+    # nothing downstream trips 'contaminated'
+    for i in range(20):
+        rows.append((i, f"benchmark filler number {i} with entirely separate words", "en", "bench.example", 40))
+    rows.append((20, base, "en", "site-a", len(base)))                     # near-dup KEEPER
+    rows.append((21, base.replace("today", "tonight"), "en", "site-a", len(base)))  # near-dup loser
+    rows.append((22, "the completely different unique document with its own words here", "en", "site-b", 60))
+    rows.append((23, rows[-1][1], "en", "site-b", 60))                     # exact-dup loser of 22
+    d = tmp_path / "sfdir"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {r.doc_id: r.reason for r in corpus_curation(spark, str(d)).collect()}
+    assert got[23] == "duplicate", got
+    assert got[21] == "near_duplicate", got
+    assert got[20] not in ("duplicate", "near_duplicate"), got
+    assert got[22] not in ("duplicate", "near_duplicate"), got
