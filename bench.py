@@ -78,6 +78,7 @@ EXTRA = [
     "customer_retention_setops",
     "dup_span_flags",
     "tfidf_top_terms",
+    "dedup_span_removal",
 ]
 
 # synthetic extraction corpus size per SF (docs)

@@ -750,6 +750,30 @@ def _spans(docs: DataFrame, width: int = SPAN_WORDS) -> DataFrame:
     )
 
 
+def _spans_pos(docs: DataFrame, width: int = SPAN_WORDS) -> DataFrame:
+    """ALL hashed ``width``-word windows with their 1-based start
+    position: (doc_id, i, s) — the position-carrying twin of
+    :func:`_spans` for consumers that rewrite text."""
+    w = F.split(F.col("text"), " ")
+    window_text = F.concat_ws(
+        " ", *[F.element_at("w", F.col("i") + k) for k in range(width)]
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= width)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - width + 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.substring(F.md5(window_text), 1, SHINGLE_HASH_CHARS).alias("s"),
+        )
+    )
+
+
 def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-span statistics: of the doc's distinct
     SPAN_WORDS-word windows, how many also occur in ANOTHER document
@@ -780,6 +804,79 @@ def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step behind :func:`dup_span_flags` — Lee et al.
+    2021's substring dedup as a text TRANSFORM: for every duplicated
+    span (corpus document frequency >= 2) one canonical copy survives
+    in the keeper document (min doc_id containing the span); every
+    other document loses the words covered by that span.  Documents
+    keep their identity — only covered words are excised — so the
+    op composes with doc-level dedup instead of replacing it.
+
+    Output: (doc_id, n_words, n_removed, text_clean) for EVERY doc
+    (sub-width and span-free docs pass through verbatim).
+
+    Scale shape (100 TB): positions ride along the same 44-bit hashed
+    span keys; every exchange is linear — distinct (doc, span) for the
+    keeper/df table, groupBy(span) with map-side combine, the
+    positions-x-dup-spans join on the uniform hashed key (1:1 against
+    one stats row per span), a distinct on covered (doc, position), a
+    left-anti join on (doc, position), and the per-doc rebuild agg.
+    A span shared by k docs contributes k*W covered-position rows —
+    linear in occurrences, never pairwise.  The rebuild's
+    array_sort(collect_list(struct(pos, word))) buffers one document
+    per group — bounded by doc length, the same bound the extraction
+    kernel already lives with."""
+    docs = load(spark, sf_dir, "documents")
+    pos = _spans_pos(docs)
+    span_stats = (
+        pos.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("df") >= 2)
+    )
+    covered = (
+        pos.join(span_stats, "s")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + SPAN_WORDS - 1)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    kept = words.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.col("n_words") - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 _SPAN_CAT = " || ' ' || ".join(f"w[i+{k}]" for k in range(SPAN_WORDS))
 
 SPANS_SQL = f"""
@@ -801,6 +898,47 @@ GROUP BY doc_id
 """
 
 
+SPAN_REMOVAL_SQL = f"""
+WITH words0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, i, substr(md5({_SPAN_CAT}), 1, {SHINGLE_HASH_CHARS}) AS s
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_WORDS - 2})) AS i
+    FROM words0 WHERE len(w) >= {SPAN_WORDS}
+  )
+),
+stats AS (
+  SELECT s, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
+  FROM pos GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(range(i, i + {SPAN_WORDS})) AS p
+    FROM pos JOIN stats USING (s) WHERE doc_id <> keeper
+  )
+),
+wordpos AS (
+  SELECT doc_id, i AS p, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM words0)
+),
+kept AS (
+  SELECT wp.doc_id, wp.p, wp.word
+  FROM wordpos wp LEFT JOIN covered c ON wp.doc_id = c.doc_id AND wp.p = c.p
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_words,
+       t.n_words - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents) t
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 ORACLES = {
     "dedup_exact": EXACT_SQL,
     "ngram_jaccard_pairs": JACCARD_SQL,
@@ -809,6 +947,7 @@ ORACLES = {
     "fingerprint_winnow": FINGERPRINT_SQL,
     "dedup_clusters": CLUSTERS_SQL,
     "dup_span_flags": SPANS_SQL,
+    "dedup_span_removal": SPAN_REMOVAL_SQL,
 }
 
 QUERIES = {
@@ -819,4 +958,5 @@ QUERIES = {
     "fingerprint_winnow": fingerprint_winnow,
     "dedup_clusters": dedup_clusters,
     "dup_span_flags": dup_span_flags,
+    "dedup_span_removal": dedup_span_removal,
 }

@@ -167,7 +167,6 @@ FROM orders
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
-    "top1_order_per_customer": TOP1_SQL,
     "min_acctbal_customer_per_nation": MINBY_SQL,
     "revenue_by_nation": REVENUE_SQL,
     "running_total_per_customer": RUNNING_SQL,
@@ -175,8 +174,21 @@ ORACLES = {
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
-    "top1_order_per_customer": top1_order_per_customer,
     "min_acctbal_customer_per_nation": min_acctbal_customer_per_nation,
     "revenue_by_nation": revenue_by_nation,
     "running_total_per_customer": running_total_per_customer,
+}
+
+# Retired round 5 to free the slot for dedup_span_removal: the
+# row_number-top-1 window shape stays registered three times over
+# (domain_quota's WindowGroupLimit cap, ann_cosine_topk's top-k,
+# tfidf_top_terms' per-doc top-3) and the argmax family via
+# min_acctbal's min_by.  Still oracle-gated by
+# tests/test_entry_parity.py and selfcheck.py.
+RETIRED_ORACLES = {
+    "top1_order_per_customer": TOP1_SQL,
+}
+
+RETIRED_QUERIES = {
+    "top1_order_per_customer": top1_order_per_customer,
 }

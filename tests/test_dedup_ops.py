@@ -408,3 +408,29 @@ def test_tfidf_ranks_distinctive_term_first(spark, tmp_path):
     # doc 3: filler tf=3 df=2 -> 3*5e6//3 = 5.0 beats common tf=1 df=4 -> 1.0
     doc3 = sorted([r for r in rows if r.doc_id == 3], key=lambda r: r.rank)
     assert doc3[0].term == "filler" and doc3[0].score == 5.0
+
+
+def test_span_removal_keeper_verbatim_loser_excised(spark, tmp_path):
+    """dedup_span_removal semantics: the keeper (min doc_id containing
+    a duplicated span) keeps its text verbatim; the other carrier
+    loses exactly the covered words; unique and sub-width docs pass
+    through untouched."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    texts = [
+        "one two three " + shared + " four five six",
+        shared + " seven eight nine ten eleven twelve",
+        "entirely separate words that never overlap with anything else at all",
+        "too short",
+    ]
+    sf = _docs_table(spark, tmp_path, texts)
+    got = {r.doc_id: r for r in D.dedup_span_removal(spark, sf).collect()}
+    assert got[0].text_clean == texts[0] and got[0].n_removed == 0
+    # doc 1: the shared 8 words (positions 1-8) are excised; the rest
+    # of the doc survives in order
+    assert got[1].text_clean == "seven eight nine ten eleven twelve", got[1]
+    assert got[1].n_removed == 8
+    assert got[2].text_clean == texts[2] and got[2].n_removed == 0
+    assert got[3].text_clean == texts[3] and got[3].n_removed == 0
+    # removal is an idempotent-ish guarantee on counts
+    for i in range(4):
+        assert got[i].n_words == len(texts[i].split(" "))
