@@ -20,6 +20,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def respread(df: DataFrame) -> DataFrame:
+    """Unlock cores for SPLIT-STARVED scans feeding hash-heavy map work.
+
+    A map-heavy projection (per-k-gram md5, shingle explode) runs at
+    the SCAN's parallelism: a small single-file corpus yields 1-2
+    parquet row-group splits, serializing the expensive stage on 2 of
+    32 cores — measured at the sf1eq point fingerprint_winnow spent
+    34.9 s on 2 tasks and 1.9 s after one round-robin redistribution
+    of the raw rows (finding #36).  At corpus scale the source
+    provides orders of magnitude more splits than cores, so this is a
+    structural NO-OP there — the condition compares the planned scan
+    partitions against the cluster's parallelism and only then pays
+    one exchange of the raw input (bytes the expensive stage was going
+    to read anyway, redistributed once, round-robin — no key, no
+    skew).  Values are unaffected: every consumer aggregates or
+    windows with total tie-breaks downstream.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def scaled_long(c: Column, scale: float) -> Column:
     """Exact, order-independent sum discipline: fix-point the per-row
     double as ``floor(x * scale)`` (a LONG) before aggregating.

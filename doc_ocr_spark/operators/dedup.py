@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doc_ocr_spark.operators import load
+from doc_ocr_spark.operators import load, respread
 
 N_MINHASH = 8
 JACCARD_THRESHOLD = 0.5
@@ -45,6 +45,7 @@ def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     skips the per-(doc_id, s) dedup exchange — for consumers that
     filter the stream first (e.g. a broadcast semi-join against a small
     shingle set) and dedup the far smaller remainder."""
+    docs = respread(docs)  # finding #36: md5 stage runs at scan parallelism
     w = F.split(F.col("text"), " ")
     out = (
         docs.select("doc_id", w.alias("w"))
@@ -291,7 +292,7 @@ def _simhash_bit_exprs() -> list[str]:
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit demo width): sign of per-bit weighted sums over
     token hashes; tokens weighted by multiplicity."""
-    docs = load(spark, sf_dir, "documents")
+    docs = respread(load(spark, sf_dir, "documents"))  # finding #36
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
@@ -361,7 +362,7 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the window form shuffles ~len(text) rows per document
     for a computation that is strictly per-doc-local — the map-only
     form is the one that survives 100x."""
-    docs = load(spark, sf_dir, "documents")
+    docs = respread(load(spark, sf_dir, "documents"))  # finding #36
     # Loud overflow guard (ADVICE r04): the rightmost-position tie-break
     # term is 10^_POS_PAD - i, which goes NEGATIVE past 10^_POS_PAD
     # characters — lpad would emit keys starting with '-' and silently
@@ -730,6 +731,7 @@ SPAN_WORDS = 8  # window width; docs shorter than this have no spans
 def _spans(docs: DataFrame, width: int = SPAN_WORDS) -> DataFrame:
     """Distinct hashed ``width``-word windows (stride 1) per doc:
     (doc_id, s).  Same key discipline as :func:`_shingles`."""
+    docs = respread(docs)  # finding #36
     w = F.split(F.col("text"), " ")
     window_text = F.concat_ws(
         " ", *[F.element_at("w", F.col("i") + k) for k in range(width)]
@@ -754,6 +756,7 @@ def _spans_pos(docs: DataFrame, width: int = SPAN_WORDS) -> DataFrame:
     """ALL hashed ``width``-word windows with their 1-based start
     position: (doc_id, i, s) — the position-carrying twin of
     :func:`_spans` for consumers that rewrite text."""
+    docs = respread(docs)  # finding #36
     w = F.split(F.col("text"), " ")
     window_text = F.concat_ws(
         " ", *[F.element_at("w", F.col("i") + k) for k in range(width)]

@@ -663,8 +663,17 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each band's pair join is bounded by bucket size (vs n^2);
     more planes -> smaller buckets (precision of the candidate set),
     more bands -> higher recall (classic OR-banding); the union's
-    DISTINCT shuffles only candidate pairs."""
-    emb = _emb_with_norms(spark, sf_dir)
+    DISTINCT shuffles only candidate pairs.
+
+    respread here is a MEASURED per-op decision (finding #36): the
+    per-band bucket-bit dots run at scan parallelism and this query is
+    dot-dominated — sf1eq A/B 7.4 -> 4.5 s.  ann_nn_within_bucket got
+    the same A/B and REGRESSED 29.5 -> 105.6 s (its cost is the
+    bucket pair join, and redistributing the raw vectors de-aligns
+    the reused ranked subtree), so it stays on the scan layout."""
+    from doc_ocr_spark.operators import respread
+
+    emb = respread(_emb_with_norms(spark, sf_dir))
     if N_BANDS > 1:
         cand = None
         for b in range(N_BANDS):

@@ -284,8 +284,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (ties: term ascending); score reported at 6 dp."""
     from pyspark.sql.window import Window
 
+    from doc_ocr_spark.operators import respread
+
     docs = load(spark, sf_dir, "documents")
-    terms = docs.select(
+    terms = respread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -112,13 +112,21 @@ def test_approx_count_distinct_within_tolerance(spark):
 
 
 def test_winnowing_plan_is_map_only(spark):
-    """fingerprint_winnow computes window minima IN-ROW — the plan must
-    contain no Exchange at all (round-2 rework: the window-function
-    formulation shuffled every k-gram row)."""
+    """fingerprint_winnow computes window minima IN-ROW — no
+    DATA-DEPENDENT exchange (round-2 rework: the window-function
+    formulation shuffled every k-gram row, keyed by doc_id).  The one
+    exchange allowed is respread's ROUND-ROBIN redistribution of the
+    raw rows when the source under-splits (finding #36: the md5 stage
+    ran on 2 of 32 cores at the sf1eq point, 34.9 -> 1.9 s); at corpus
+    scale the condition makes it a no-op, and round-robin carries no
+    key, no skew, no semantic dependence."""
     from doc_ocr_spark.operators.dedup import fingerprint_winnow
 
     plan = explain_str(fingerprint_winnow(spark, "/root/testdata/sf0.001"), "simple")
-    assert "Exchange" not in plan, plan
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(k == "RoundRobinPartitioning" for k in exchanges), plan
     assert "Window" not in plan, plan
 
 
