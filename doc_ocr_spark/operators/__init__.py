@@ -20,7 +20,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def respread(df: DataFrame) -> DataFrame:
+def respread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Unlock cores for SPLIT-STARVED scans feeding hash-heavy map work.
 
     A map-heavy projection (per-k-gram md5, shingle explode) runs at
@@ -36,9 +36,30 @@ def respread(df: DataFrame) -> DataFrame:
     to read anyway, redistributed once, round-robin — no key, no
     skew).  Values are unaffected: every consumer aggregates or
     windows with total tie-breaks downstream.
+
+    ``min_bytes`` is a per-op calibration for LIGHT per-byte compute:
+    the exchange only pays off when each unlocked core gets enough
+    work.  winnow's md5-per-character is ~100x heavier per input byte
+    than an embedding dot pass, so winnow wins from respread even on a
+    0.5 MB input while embedding_cosine_dedup needs ~tens of MB
+    (measured: sf0.1 520 KB embeddings 2.35 -> 4.28 s WORSE, sf1eq
+    52 MB 7.4 -> 4.5 s better — finding #36).  Ops pass the floor
+    their own A/B justifies; default 0 keeps the hash-heavy text ops
+    unconditional below the parallelism test.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
+    if min_bytes:
+        import os as _os
+
+        try:
+            size = sum(
+                _os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+            )
+        except OSError:
+            size = min_bytes  # unknown source: fall through to the split test
+        if size < min_bytes:
+            return df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

@@ -667,13 +667,16 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     respread here is a MEASURED per-op decision (finding #36): the
     per-band bucket-bit dots run at scan parallelism and this query is
-    dot-dominated — sf1eq A/B 7.4 -> 4.5 s.  ann_nn_within_bucket got
-    the same A/B and REGRESSED 29.5 -> 105.6 s (its cost is the
-    bucket pair join, and redistributing the raw vectors de-aligns
-    the reused ranked subtree), so it stays on the scan layout."""
+    dot-dominated — sf1eq A/B 7.4 -> 4.5 s, but sf0.1 (520 KB input)
+    2.35 -> 4.28 s WORSE, so the floor gates it to inputs big enough
+    to feed the cores (embedding dots are light per byte next to the
+    text family's md5 work).  ann_nn_within_bucket got the same A/B
+    and REGRESSED 29.5 -> 105.6 s at sf1eq (its cost is the bucket
+    pair join, and redistributing the raw vectors de-aligns the
+    reused ranked subtree), so it stays on the scan layout."""
     from doc_ocr_spark.operators import respread
 
-    emb = respread(_emb_with_norms(spark, sf_dir))
+    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=8 << 20)
     if N_BANDS > 1:
         cand = None
         for b in range(N_BANDS):
