@@ -153,8 +153,12 @@ def _sims(left: DataFrame, right: DataFrame) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for the first N_QUERIES vectors."""
-    emb = _emb_with_norms(spark, sf_dir)
+    """Brute-force cosine top-k for the first N_QUERIES vectors.
+    respread (finding #36, 8 MB floor): the q x n dot stage runs at
+    scan parallelism — sf1eq A/B 1.82 -> 0.63 s."""
+    from doc_ocr_spark.operators import respread
+
+    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=8 << 20)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     sims = _sims(q, emb)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
@@ -295,8 +299,12 @@ def _argmax_assign(sims: DataFrame) -> DataFrame:
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: route every vector to its max-cosine centroid
     (centroids = vec_id < N_CENTROIDS; deterministic stand-in for a
-    k-means fit, which would be seeded at corpus scale)."""
-    emb = _emb_with_norms(spark, sf_dir)
+    k-means fit, which would be seeded at corpus scale).  respread
+    (finding #36, 8 MB floor): the n x k assignment dots run at scan
+    parallelism — sf1eq A/B 16.4 -> 1.4 s."""
+    from doc_ocr_spark.operators import respread
+
+    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=8 << 20)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
     return _argmax_assign(_sims(cents, emb))
 
@@ -829,11 +837,15 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid arrays with in-row dots — map-only, no shuffle, the
     classic k-means-on-MapReduce layout.  Only the centroid update
     shuffles, and that agg is (k x DIM) cells regardless of corpus
-    size (explode + partial map-side combine).
+    size (explode + partial map-side combine).  respread (finding
+    #36, 8 MB floor): the map-only assignment dots run at scan
+    parallelism — sf1eq A/B 29.2 -> 3.0 s.
     """
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "vn", _norm_expr(F.col("embedding"))
-    )
+    from doc_ocr_spark.operators import respread
+
+    emb = respread(
+        load(spark, sf_dir, "embeddings"), min_bytes=8 << 20
+    ).withColumn("vn", _norm_expr(F.col("embedding")))
     # centroid state as arrays: (cid, carr array<double>)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"),
