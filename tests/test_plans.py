@@ -320,3 +320,28 @@ def test_tfidf_two_scans_no_join_on_term(spark):
     plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
     assert plan.count("FileScan") == 2, plan
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_respread_gating(spark, tmp_path):
+    """respread must (a) round-robin a split-starved scan up to the
+    session parallelism, (b) be an identity when the scan already
+    provides enough partitions, and (c) respect the min_bytes floor
+    for compute-light inputs."""
+    from doc_ocr_spark.operators import respread
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).write.parquet(p)  # small single-ish-file table
+    one = spark.read.parquet(p).coalesce(1)
+    par = spark.sparkContext.defaultParallelism
+
+    spread = respread(one)
+    assert spread.rdd.getNumPartitions() == par
+    assert "RoundRobinPartitioning" in spread._jdf.queryExecution().toString()
+
+    # floor: a tiny input stays on the scan layout
+    floored = respread(spark.read.parquet(p), min_bytes=1 << 30)
+    assert "RoundRobinPartitioning" not in floored._jdf.queryExecution().toString()
+
+    # already-parallel input is untouched
+    wide = one.repartition(par + 4)
+    assert respread(wide) is wide
