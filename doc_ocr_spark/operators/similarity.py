@@ -58,7 +58,14 @@ _SM_SQL = "1000000.0"
 
 def _dot_scaled(a: Column, b: Column) -> Column:
     """Exact in-row scaled-long dot: sum_i floor((a[i]*b[i]) * 1e12).
-    Association matches the DuckDB twin ((x*y)*S, left-assoc)."""
+    Association matches the DuckDB twin ((x*y)*S, left-assoc).
+
+    Round-6 A/B (kept AS-IS on purpose): unrolling the 64 terms into
+    one explicit codegen sum measured 44.6 s vs 3.5 s for this form on
+    a 1e7-pair microbench — the single generated method blows past
+    HotSpot's JIT size threshold (~8 KB bytecode) and the whole stage
+    runs as interpreted bytecode.  The zip_with lambda stays small and
+    JIT-hot; see OPTIMIZATION_r06.md §dot-variants."""
     return F.aggregate(
         F.zip_with(
             a,
@@ -96,11 +103,13 @@ def _emb_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_sims_exploded(pairs: DataFrame, extra_keys: list[str]) -> DataFrame:
+def _pair_sims(pairs: DataFrame, extra_keys: list[str]) -> DataFrame:
     """Cosine sim for an already-joined pair set via explode + partial
-    agg — the measured-faster form for LARGE pair counts (see module
-    docstring).  Expects columns qid/cid/qe/ce/qn/cn (+extra_keys);
-    returns qid, cid, extra_keys..., sim."""
+    agg — the measured-fastest JVM form (round-6 microbench over 1e7
+    pairs: this 2.6 s, in-row zip_with 3.5 s, a 64-term unrolled
+    codegen sum 44.6 s — the last blows the JIT method-size limit and
+    the stage runs interpreted).  Expects columns qid/cid/qe/ce/qn/cn
+    (+extra_keys); returns qid, cid, extra_keys..., sim."""
     dots = (
         pairs.select(
             "qid", "cid", "qn", "cn", *extra_keys,
@@ -430,6 +439,92 @@ def _refined_ranked(
     )
 
 
+# Round 6 (guide §4.2, §8): the within-bucket NN pair work moves into a
+# cogrouped NumPy kernel by default.  The JVM pair-join form pays
+# ~8-10 us per candidate pair however the dot is expressed (explode /
+# zip_with / unrolled — microbenched, OPTIMIZATION_r06.md) because every
+# pair materializes a ~550-byte row carrying BOTH embeddings through the
+# join, the 64x explode and a pair-keyed aggregation; at sf1.0 that is
+# 1.6e8 pairs = ~1400 core-seconds.  The kernel instead ships each
+# bucket's vectors ONCE (5n small rows through one exchange — the §8
+# "move heavy bytes once" rule), forms the pair products inside NumPy,
+# and returns only a per-(query, bucket) SHORTLIST of nearest-neighbour
+# candidates with their EXACT scaled-long dots; the sim division,
+# 6-dp rounding and the global argmax stay in JVM expressions
+# bit-identical to the pair-join form.
+#
+# Exactness: the kernel preselects by an approximate float64 GEMM sim
+# with margin _NN_MARGIN, then recomputes floor((x*y)*1e12) as int64
+# per element for the shortlist — identical IEEE ops in the identical
+# order as the JVM/DuckDB twins, so the returned dots are bit-exact.
+# The margin only has to cover (a) two exact sims rounding to the same
+# 6-dp value (<~2e-6 apart) and (b) GEMM-vs-exact drift (<~1e-9); 1e-4
+# is ~50x conservative, so the true argmax row is always shortlisted
+# and extra rows are inert under the total-ordered argmax.
+_NN_IMPL = _os.environ.get("SPARK_GRAFT_NN_IMPL", "cogroup")
+_NN_MARGIN = 1e-4
+_NN_BLOCK = 4096  # probe rows per GEMM block (bounds kernel memory)
+
+
+def _nn_shortlist_kernel(key, probe, index):
+    """Per-bucket NN shortlist: (qid, bucket, cid, dot, qn, cn) rows
+    for every candidate within _NN_MARGIN of its query's best bucket
+    sim.  ``dot`` is the exact scaled-long dot (see module header)."""
+    import numpy as np
+    import pandas as pd
+
+    def empty():
+        return pd.DataFrame(
+            {
+                "qid": np.empty(0, np.int64),
+                "bucket": np.empty(0, np.int64),
+                "cid": np.empty(0, np.int64),
+                "dot": np.empty(0, np.int64),
+                "qn": np.empty(0, np.float64),
+                "cn": np.empty(0, np.float64),
+            }
+        )
+
+    if len(probe) == 0 or len(index) == 0:
+        return empty()
+    Q = np.stack(probe["embedding"].to_numpy()).astype(np.float64)
+    C = np.stack(index["embedding"].to_numpy()).astype(np.float64)
+    qn = probe["nrm"].to_numpy(dtype=np.float64)
+    cn = index["nrm"].to_numpy(dtype=np.float64)
+    qv = probe["vec_id"].to_numpy(dtype=np.int64)
+    cv = index["vec_id"].to_numpy(dtype=np.int64)
+    outs = []
+    for b0 in range(0, len(Q), _NN_BLOCK):
+        b1 = min(b0 + _NN_BLOCK, len(Q))
+        approx = (Q[b0:b1] @ C.T) / qn[b0:b1, None] / cn[None, :]
+        approx[qv[b0:b1, None] == cv[None, :]] = -np.inf  # no self-pairs
+        best = approx.max(axis=1)
+        keep = approx >= (best[:, None] - _NN_MARGIN)
+        keep &= np.isfinite(approx)
+        qi, ci = np.nonzero(keep)
+        if len(qi) == 0:
+            continue
+        # exact scaled-long dot, same op order as the JVM/DuckDB twins:
+        # (float64(x) * float64(y)) * 1e12, floor, int64, sum
+        prod = Q[b0 + qi] * C[ci]
+        dot = np.floor(prod * _S).astype(np.int64).sum(axis=1)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "qid": qv[b0 + qi],
+                    "bucket": np.full(len(qi), int(key[0]), np.int64),
+                    "cid": cv[ci],
+                    "dot": dot,
+                    "qn": qn[b0 + qi],
+                    "cn": cn[ci],
+                }
+            )
+        )
+    if not outs:
+        return empty()
+    return pd.concat(outs, ignore_index=True)
+
+
 def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, the scale path end-to-end: IVF-assign every
     vector to a bucket (Lloyd-refined centroids by default, finding
@@ -483,36 +578,101 @@ def ann_nn_within_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured ~25% wall saving at sf0.1.)  In 'asym' mode the sides
     # genuinely differ; the centroid-sims leg is map-only (broadcast
     # nested loop), so recomputing it costs no extra shuffle.
-    pairs = (
-        withb.alias("q")
-        .join(
-            cand.alias("c"),
-            (F.col("q.bucket") == F.col("c.bucket"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
+    if _NN_IMPL == "cogroup":
+        # cogrouped NumPy kernel (see _nn_shortlist_kernel header):
+        # one exchange of the small (vec_id, bucket, embedding, nrm)
+        # rows per side, pair products formed inside NumPy, exact dots
+        # back out for a tiny shortlist.
+        pcols = ["vec_id", "bucket", "embedding", "nrm"]
+        # re-alias each side's columns (fresh exprIds) — withb and cand
+        # share lineage, and cogroup's column resolution rejects the
+        # ambiguous self-reference otherwise
+        probe_side = withb.select([F.col(c).alias(c) for c in pcols])
+        index_side = cand.select([F.col(c).alias(c) for c in pcols])
+        shortlist = (
+            probe_side.groupby("bucket")
+            .cogroup(index_side.groupby("bucket"))
+            .applyInPandas(
+                _nn_shortlist_kernel,
+                "qid long, bucket long, cid long, dot long, "
+                "qn double, cn double",
+            )
         )
-        .select(
-            F.col("q.vec_id").alias("qid"),
-            F.col("c.vec_id").alias("cid"),
-            F.col("q.embedding").alias("qe"),
-            F.col("c.embedding").alias("ce"),
-            F.col("q.nrm").alias("qn"),
-            F.col("c.nrm").alias("cn"),
-            F.col("q.bucket").alias("bucket"),
+        sims = shortlist.select(
+            "qid", "cid", "bucket",
+            F.round(
+                (F.col("dot").cast("double") / _S)
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("sim"),
         )
-    )
-    sims = _pair_sims_exploded(pairs, ["bucket"])
+    else:
+        # JVM pair-join fallback (SPARK_GRAFT_NN_IMPL=jvm), kept for
+        # A/B evidence.  Guide §2.5/§2.6: the pair join's probe side
+        # arrives in a handful of byte-sized AQE-coalesced partitions
+        # (measured at sf1.0: the join+dot stage ran 8 tasks on 32
+        # cores for ~1400 core-seconds — AQE sizes partitions by INPUT
+        # bytes and cannot see that each probe row fans out into
+        # ~|bucket| dot evaluations).  One round-robin exchange of the
+        # probe rows restores full parallelism for the dominant stage;
+        # values are unaffected (the final argmax has a total
+        # tie-break).
+        withb = withb.repartition(spark.sparkContext.defaultParallelism)
+        pairs = (
+            withb.alias("q")
+            .join(
+                cand.alias("c"),
+                (F.col("q.bucket") == F.col("c.bucket"))
+                & (F.col("q.vec_id") != F.col("c.vec_id")),
+            )
+            .select(
+                F.col("q.vec_id").alias("qid"),
+                F.col("c.vec_id").alias("cid"),
+                F.col("q.embedding").alias("qe"),
+                F.col("c.embedding").alias("ce"),
+                F.col("q.nrm").alias("qn"),
+                F.col("c.nrm").alias("cn"),
+                F.col("q.bucket").alias("bucket"),
+            )
+        )
+        sims = _pair_sims(pairs, ["bucket"])
     # bucket as the FINAL tie-break: inert at nprobe=1 (a pair shares
     # one bucket), and at nprobe>1 it pins which probed bucket the
-    # duplicate (qid,cid) row reports — same key order as the oracle
-    nn_w = Window.partitionBy("qid").orderBy(
-        F.col("sim").desc(), F.col("cid").asc(), F.col("bucket").asc()
-    )
+    # duplicate (qid,cid) row reports — same key order as the oracle.
+    if _os.environ.get("SPARK_GRAFT_NN_ARGMAX", "maxby") == "window":
+        nn_w = Window.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col("cid").asc(), F.col("bucket").asc()
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(nn_w))
+            .filter(F.col("rank") == 1)
+            .select(
+                F.col("qid").alias("vec_id"), "bucket",
+                F.col("cid").alias("nn_id"), "sim",
+            )
+        )
+    # Round 6: the rank=1 window became a max_by AGGREGATION (same
+    # rewrite as _argmax_assign) — the window shuffled and sorted every
+    # pair sim (1.6e8 rows at sf1.0) where the agg's map-side partial
+    # combine ships ~one row per (task, qid).  The comparison key
+    # (sim, -cid, -bucket) is unique per qid (cid/bucket identify the
+    # pair), so the argmax is total and matches the oracle's
+    # ORDER BY sim DESC, cid, bucket exactly.
     return (
-        sims.withColumn("rank", F.row_number().over(nn_w))
-        .filter(F.col("rank") == 1)
+        sims.groupBy(F.col("qid").alias("vec_id"))
+        .agg(
+            F.max_by(
+                F.struct("bucket", F.col("cid").alias("nn_id"), "sim"),
+                F.struct(
+                    "sim",
+                    (-F.col("cid")).alias("nc"),
+                    (-F.col("bucket")).alias("nb"),
+                ),
+            ).alias("best")
+        )
         .select(
-            F.col("qid").alias("vec_id"), "bucket",
-            F.col("cid").alias("nn_id"), "sim",
+            "vec_id", F.col("best.bucket").alias("bucket"),
+            F.col("best.nn_id").alias("nn_id"), F.col("best.sim").alias("sim"),
         )
     )
 
@@ -659,6 +819,112 @@ def _band_bucket_col(b: int):
     return bucket
 
 
+# Round 6: embedding_cosine_dedup's banded-LSH pair work moves into the
+# same NumPy-kernel discipline as ann_nn_within_bucket (guide §4.2).
+# Measured at sf1.0 (OPTIMIZATION_r06.md): the JVM form spent ~90
+# core-seconds computing the 16 band-bucket dots on the scan's 2 splits
+# (twice — once per self-join side) and ~865 core-seconds verifying
+# ~5e7 candidate pairs at the JVM's ~8-10 us/pair floor.  The kernel
+# form computes bucket bits exactly in NumPy (int64 floor sums — the
+# identical scaled-long sign test), groups by (band, bucket), forms the
+# within-bucket upper-triangle products in blocked GEMM, and emits only
+# pairs whose approximate sim clears DEDUP_TAU - _NN_MARGIN with their
+# EXACT scaled-long dots; the 6-dp rounding and the >= tau filter stay
+# in JVM expressions, so a pair the kernel drops (sim <= tau - 1e-4 +
+# ~1e-9 GEMM drift) can never round back up to tau, and emitted pairs
+# carry bit-exact dots.  Multi-band duplicates collapse in a DISTINCT
+# over the (deterministic) shortlist rows, exactly as the candidate
+# DISTINCT did.
+def _band_buckets_kernel(it):
+    """mapInPandas: (vec_id, embedding, nrm) -> one row per band with
+    the exact hyperplane bucket id (sign bits of scaled-long dots)."""
+    import numpy as np
+    import pandas as pd
+
+    sgn = np.asarray(_SIGNS, dtype=np.float64)
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        emb_col = pdf["embedding"].to_numpy()
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        bits = [
+            np.floor((E * sgn[j][None, :]) * _S).astype(np.int64).sum(axis=1) >= 0
+            for j in range(N_BANDS * N_PLANES)
+        ]
+        out = []
+        for b in range(N_BANDS):
+            bucket = np.zeros(len(E), np.int64)
+            for i in range(N_PLANES):
+                bucket += bits[b * N_PLANES + i].astype(np.int64) << i
+            out.append(
+                pd.DataFrame(
+                    {
+                        "band": np.full(len(E), b, np.int64),
+                        "bucket": bucket,
+                        "vec_id": vid,
+                        "embedding": emb_col,
+                        "nrm": nrm,
+                    }
+                )
+            )
+        yield pd.concat(out, ignore_index=True)
+
+
+def _band_pair_kernel(key, grp):
+    """Per-(band, bucket) upper-triangle near-dup shortlist:
+    (qid, cid, dot, qn, cn) for pairs with approximate sim >=
+    DEDUP_TAU - _NN_MARGIN; ``dot`` is the exact scaled-long dot."""
+    import numpy as np
+    import pandas as pd
+
+    def empty():
+        return pd.DataFrame(
+            {
+                "qid": np.empty(0, np.int64),
+                "cid": np.empty(0, np.int64),
+                "dot": np.empty(0, np.int64),
+                "qn": np.empty(0, np.float64),
+                "cn": np.empty(0, np.float64),
+            }
+        )
+
+    n = len(grp)
+    if n < 2:
+        return empty()
+    E = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+    nr = grp["nrm"].to_numpy(dtype=np.float64)
+    vid = grp["vec_id"].to_numpy(dtype=np.int64)
+    outs = []
+    block = max(1, (1 << 24) // n)
+    for b0 in range(0, n, block):
+        b1 = min(b0 + block, n)
+        approx = (E[b0:b1] @ E.T) / nr[b0:b1, None] / nr[None, :]
+        mask = (vid[b0:b1, None] < vid[None, :]) & (
+            approx >= DEDUP_TAU - _NN_MARGIN
+        )
+        qi, ci = np.nonzero(mask)
+        if len(qi) == 0:
+            continue
+        prod = E[b0 + qi] * E[ci]
+        dot = np.floor(prod * _S).astype(np.int64).sum(axis=1)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "qid": vid[b0 + qi],
+                    "cid": vid[ci],
+                    "dot": dot,
+                    "qn": nr[b0 + qi],
+                    "cn": nr[ci],
+                }
+            )
+        )
+    if not outs:
+        return empty()
+    return pd.concat(outs, ignore_index=True)
+
+
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane LSH (SimHash over the
     vector space): per band, bucket = sign bits of N_PLANES
@@ -685,23 +951,60 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_ocr_spark.operators import respread
 
     emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=8 << 20)
-    if N_BANDS > 1:
-        cand = None
-        for b in range(N_BANDS):
-            withb_b = emb.select("vec_id", _band_bucket_col(b).alias("bucket"))
-            p = (
-                withb_b.alias("q")
-                .join(
-                    withb_b.alias("c"),
-                    (F.col("q.bucket") == F.col("c.bucket"))
-                    & (F.col("q.vec_id") < F.col("c.vec_id")),
-                )
-                .select(
-                    F.col("q.vec_id").alias("qid"),
-                    F.col("c.vec_id").alias("cid"),
-                )
+    if N_BANDS > 1 and _os.environ.get("SPARK_GRAFT_EMBDD_IMPL", "kernel") == "kernel":
+        withb = emb.select("vec_id", "embedding", "nrm").mapInPandas(
+            _band_buckets_kernel,
+            "band long, bucket long, vec_id long, "
+            "embedding array<float>, nrm double",
+        )
+        shortlist = (
+            withb.groupby("band", "bucket")
+            .applyInPandas(
+                _band_pair_kernel,
+                "qid long, cid long, dot long, qn double, cn double",
             )
-            cand = p if cand is None else cand.unionByName(p)
+            .distinct()
+        )
+        sims = shortlist.select(
+            "qid", "cid",
+            F.round(
+                (F.col("dot").cast("double") / _S)
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("sim"),
+        )
+        return sims.filter(F.col("sim") >= DEDUP_TAU).select(
+            F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "sim"
+        )
+    if N_BANDS > 1:
+        # JVM single-pass banding (SPARK_GRAFT_EMBDD_IMPL=jvm), kept
+        # for A/B: ALL band buckets in ONE projection —
+        # posexplode(array(bucket_0..bucket_{B-1})) keys each vector's
+        # B bucket ids by (band, bucket), and a single self-join on
+        # (band, bucket) replaces the round-5 per-band loop of N_BANDS
+        # scans + self-joins + union (one embeddings pass, one join,
+        # guide §2.4).  The candidate set is identical: a pair collides
+        # in band b iff it shares bucket_b, and the DISTINCT dedups
+        # multi-band collisions exactly as the union did.
+        withb = emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[_band_bucket_col(b) for b in range(N_BANDS)])
+            ).alias("band", "bucket"),
+        )
+        cand = (
+            withb.alias("q")
+            .join(
+                withb.alias("c"),
+                (F.col("q.band") == F.col("c.band"))
+                & (F.col("q.bucket") == F.col("c.bucket"))
+                & (F.col("q.vec_id") < F.col("c.vec_id")),
+            )
+            .select(
+                F.col("q.vec_id").alias("qid"),
+                F.col("c.vec_id").alias("cid"),
+            )
+        )
         pairs = (
             cand.distinct()
             .join(
@@ -721,7 +1024,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cid",
             )
         )
-        sims = _pair_sims_exploded(pairs, [])
+        sims = _pair_sims(pairs, [])
         return sims.filter(F.col("sim") >= DEDUP_TAU).select(
             F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "sim"
         )
@@ -747,7 +1050,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.nrm").alias("cn"),
         )
     )
-    sims = _pair_sims_exploded(pairs, [])
+    sims = _pair_sims(pairs, [])
     return sims.filter(F.col("sim") >= DEDUP_TAU).select(
         F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), "sim"
     )
