@@ -39,14 +39,42 @@ JACCARD_THRESHOLD = 0.5
 SHINGLE_HASH_CHARS = 11
 
 
-def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+def _hex_to_long(c):
+    """The 44-bit hex shingle key as a BIGINT (bijective, so distinct
+    counts/joins/set sizes are unchanged).  Round 6 (guide §2.3
+    "narrower types"): an 8-byte primitive long beats an 11-char
+    UTF8String on every downstream shuffle hash, join probe and
+    array_intersect; only engine-internal keys change — no oracle
+    output ever exposes the key itself."""
+    return F.conv(c, 16, 10).cast("long")
+
+
+def _shingles(
+    docs: DataFrame, distinct: bool = True, as_long: bool = False
+) -> DataFrame:
     """Hashed word 3-gram shingles per doc (docs with <3 words drop
     out, mirrored by the oracle's empty range).  ``distinct=False``
     skips the per-(doc_id, s) dedup exchange — for consumers that
     filter the stream first (e.g. a broadcast semi-join against a small
-    shingle set) and dedup the far smaller remainder."""
+    shingle set) and dedup the far smaller remainder.  ``as_long=True``
+    emits the key through :func:`_hex_to_long` for consumers that never
+    need the hex text back (the distinct then dedups 8-byte longs)."""
     docs = respread(docs)  # finding #36: md5 stage runs at scan parallelism
     w = F.split(F.col("text"), " ")
+    key = F.substring(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            )
+        ),
+        1,
+        SHINGLE_HASH_CHARS,
+    )
+    if as_long:
+        key = _hex_to_long(key)
     out = (
         docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 3)
@@ -55,21 +83,7 @@ def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
             "w",
         )
-        .select(
-            "doc_id",
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("w", F.col("i")),
-                        F.element_at("w", F.col("i") + 1),
-                        F.element_at("w", F.col("i") + 2),
-                    )
-                ),
-                1,
-                SHINGLE_HASH_CHARS,
-            ).alias("s"),
-        )
+        .select("doc_id", key.alias("s"))
     )
     return out.distinct() if distinct else out
 
@@ -153,8 +167,14 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup baseline: inverted-index join + Jaccard filter, with the
-    df cap bounding hot-shingle fan-out (see JACCARD_DF_CAP)."""
-    sh = _df_capped(_shingles(load(spark, sf_dir, "documents")))
+    df cap bounding hot-shingle fan-out (see JACCARD_DF_CAP).  Round 6:
+    the shingle key converts to a long immediately after hashing
+    (:func:`_hex_to_long`) so the distinct, the df-cap agg, the
+    inverted-index self-join and the 71M-row pair agg all hash 8-byte
+    primitives instead of 11-char strings."""
+    sh = _df_capped(
+        _shingles(load(spark, sf_dir, "documents"), as_long=True)
+    )
     return _jaccard_pairs(sh).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     ).select("doc_a", "doc_b", "jaccard")
@@ -746,7 +766,9 @@ def _spans(docs: DataFrame, width: int = SPAN_WORDS) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.substring(F.md5(window_text), 1, SHINGLE_HASH_CHARS).alias("s"),
+            _hex_to_long(
+                F.substring(F.md5(window_text), 1, SHINGLE_HASH_CHARS)
+            ).alias("s"),
         )
         .distinct()
     )
@@ -772,7 +794,9 @@ def _spans_pos(docs: DataFrame, width: int = SPAN_WORDS) -> DataFrame:
         .select(
             "doc_id",
             "i",
-            F.substring(F.md5(window_text), 1, SHINGLE_HASH_CHARS).alias("s"),
+            _hex_to_long(
+                F.substring(F.md5(window_text), 1, SHINGLE_HASH_CHARS)
+            ).alias("s"),
         )
     )
 
