@@ -57,9 +57,11 @@ def main() -> None:
         runs = []
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"{name} run{i}")
-            df = fn(spark, args.sf)
+            # time fn() + write exactly like bench.py's _force(fn(...)):
+            # streaming / staged / iterative queries do real work inside
+            # the query function itself
             t0 = time.monotonic()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
         print(json.dumps({"query": name, "sf": args.sf, "runs": runs, "min": min(runs)}), flush=True)
     spark.stop()

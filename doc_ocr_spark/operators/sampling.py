@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from doc_ocr_spark.operators import load
+from doc_ocr_spark.operators import load, respread
 from doc_ocr_spark.operators.dedup import MINHASH_SQL, _SHINGLES_CTE, _shingles
 from doc_ocr_spark.operators.textstats import LANG_SQL as LANG_SQL_REF
 from doc_ocr_spark.operators.textstats import lang_pred_col
@@ -163,7 +163,12 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     they delete a shuffle).  A doc with fewer than 2 words has no
     bigrams and a zero count.
     """
-    docs = load(spark, sf_dir, "documents")
+    # round 6: the in-row HOF work runs at scan parallelism; the driver's
+    # sf1.0 corpus is one split, which starved the whole operator to one
+    # core (2.6 s -> ~0.5 s with the conditional respread).  At corpus
+    # scale respread is a structural no-op, so the map-only scale shape
+    # stands (plan test allows only the round-robin exchange).
+    docs = respread(load(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     base = docs.select(

@@ -167,7 +167,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan parallelism — sf1eq A/B 1.82 -> 0.63 s."""
     from doc_ocr_spark.operators import respread
 
-    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=8 << 20)
+    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=2 << 20)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     sims = _sims(q, emb)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
@@ -313,7 +313,7 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism — sf1eq A/B 16.4 -> 1.4 s."""
     from doc_ocr_spark.operators import respread
 
-    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=8 << 20)
+    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=2 << 20)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
     return _argmax_assign(_sims(cents, emb))
 
@@ -950,7 +950,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused ranked subtree), so it stays on the scan layout."""
     from doc_ocr_spark.operators import respread
 
-    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=8 << 20)
+    emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=2 << 20)
     if N_BANDS > 1 and _os.environ.get("SPARK_GRAFT_EMBDD_IMPL", "kernel") == "kernel":
         withb = emb.select("vec_id", "embedding", "nrm").mapInPandas(
             _band_buckets_kernel,
@@ -1147,7 +1147,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_ocr_spark.operators import respread
 
     emb = respread(
-        load(spark, sf_dir, "embeddings"), min_bytes=8 << 20
+        load(spark, sf_dir, "embeddings"), min_bytes=2 << 20
     ).withColumn("vn", _norm_expr(F.col("embedding")))
     # centroid state as arrays: (cid, carr array<double>)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(

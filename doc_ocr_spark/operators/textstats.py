@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doc_ocr_spark.operators import load
+from doc_ocr_spark.operators import load, respread
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -147,7 +147,9 @@ def langid_eval_accuracy(
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-class + stopword heuristic language ID."""
-    docs = load(spark, sf_dir, "documents")
+    # round 6: regex/stopword map work runs at scan parallelism — one
+    # split at the driver's sf1.0 corpus starved it to 1 core
+    docs = respread(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_pred_col().alias("lang_pred"))
 
 
@@ -184,7 +186,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three components are computed as DOUBLE with identical operation
     order in both engines, then rounded once at the end.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = respread(load(spark, sf_dir, "documents"))  # round 6, see lang_id
     n_words = F.size(F.split("text", " "))
     n_stop = F.size(
         F.filter(F.split("text", " "), lambda w: w.isin(list(STOPWORDS)))
@@ -232,7 +234,7 @@ FROM documents
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = respread(load(spark, sf_dir, "documents"))  # round 6, see lang_id
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), " +")).alias("n_ws_tokens"),

@@ -238,38 +238,69 @@ def _asof_group(key, pdf_iter, state: GroupState):
     rather than attributed forward (guard below) — the stream is exact
     for (ts-ordered) arrival, which the file source's modification-time
     ordering provides in these pipelines."""
+    import numpy as np
+
     (user_id,) = key
     if state.exists:
         click_id, click_us = state.get
     else:
         click_id, click_us = None, None
 
-    out = []
+    out_pdf = None
     chunks = [p for p in pdf_iter if len(p)]
     if chunks:
+        # Round 6 (guide §4.2): the fold is vectorized.  In the sorted
+        # order (ts, is_p, event_id) the in-batch clicks are ascending
+        # in (us, eid), so the running-max click before any row is just
+        # the LAST click row before it; the effective click for a
+        # purchase is the lexicographic max of that and the carried
+        # state click — exactly what the scalar loop maintained.
         pdf = pd.concat(chunks, ignore_index=True)
         pdf["is_p"] = (pdf["event_type"] == "purchase").astype(int)
         pdf = pdf.sort_values(["ts", "is_p", "event_id"])
-        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
-        for eid, us, is_p in zip(
-            pdf["event_id"].tolist(), ts_us, pdf["is_p"].tolist()
-        ):
-            if not is_p:
-                if click_us is None or (us, eid) > (click_us, click_id):
-                    click_id, click_us = eid, us
-            elif click_id is not None and click_us <= us:
-                # the guard drops a LATE purchase whose only known click
-                # is in its future (attributing forward would violate
-                # the as-of invariant; the click it should have matched
-                # was never retained)
-                out.append((eid, user_id, us, click_id, click_us))
+        eids = pdf["event_id"].to_numpy(dtype=np.int64)
+        us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+        is_p = pdf["is_p"].to_numpy(dtype=bool)
+        idx = np.arange(len(pdf))
+        last_click = np.maximum.accumulate(np.where(~is_p, idx, -1))
+        p_last = last_click[is_p]
+        p_eid, p_us = eids[is_p], us[is_p]
+        has_batch = p_last >= 0
+        c_eid = np.where(has_batch, eids[np.maximum(p_last, 0)], np.int64(-1))
+        c_us = np.where(has_batch, us[np.maximum(p_last, 0)], np.int64(0))
+        if click_id is not None:
+            # lexicographic (us, eid) compare against the state click
+            state_wins = (~has_batch) | (
+                (c_us < click_us) | ((c_us == click_us) & (c_eid < click_id))
+            )
+            c_eid = np.where(state_wins, np.int64(click_id), c_eid)
+            c_us = np.where(state_wins, np.int64(click_us), c_us)
+            have = np.ones(len(p_eid), dtype=bool)
+        else:
+            have = has_batch
+        keep = have & (c_us <= p_us)
+        if keep.any():
+            out_pdf = pd.DataFrame(
+                {
+                    "event_id": p_eid[keep],
+                    "user_id": np.full(int(keep.sum()), user_id, np.int64),
+                    "ts_us": p_us[keep],
+                    "click_id": c_eid[keep],
+                    "click_ts_us": c_us[keep],
+                }
+            )
+        # final state click = max(state, all in-batch clicks) — clicks
+        # are ascending, so the last one is the in-batch max
+        n_clicks = int((~is_p).sum())
+        if n_clicks:
+            last_idx = idx[~is_p][-1]
+            l_eid, l_us = int(eids[last_idx]), int(us[last_idx])
+            if click_id is None or (l_us, l_eid) > (click_us, click_id):
+                click_id, click_us = l_eid, l_us
     if click_id is not None:
         state.update((click_id, click_us))
-    if out:
-        yield pd.DataFrame(
-            out,
-            columns=["event_id", "user_id", "ts_us", "click_id", "click_ts_us"],
-        )
+    if out_pdf is not None:
+        yield out_pdf
 
 
 def streaming_asof_attribution(

@@ -179,13 +179,16 @@ def test_stratified_sample_is_map_only(spark):
 
 def test_repetition_stats_is_map_only(spark):
     """The top-bigram count is the longest equal-run of the sorted
-    in-row bigram array — the plan must be a bare scan+project with no
-    Exchange, no Window, no join (the explode+agg form shuffled a row
-    per distinct bigram)."""
+    in-row bigram array — the plan must be scan+project with no Window,
+    no join, and no KEYED exchange (the explode+agg form shuffled a row
+    per distinct bigram).  Round 6: the conditional respread may add
+    ONE round-robin redistribution of the raw rows when the scan is
+    split-starved (a structural no-op at corpus scale; gating tested in
+    test_respread_gating) — hash/range exchanges remain banned."""
     from doc_ocr_spark.operators.sampling import repetition_stats
 
     plan = explain_str(repetition_stats(spark, "/root/testdata/sf0.001"), "simple")
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
     assert "Window" not in plan and "Join" not in plan, plan
 
 
