@@ -126,7 +126,22 @@ def apply_kernel(df: DataFrame, templates: list[dict] | None = None) -> DataFram
 
     Column pruning is explicit: only (url, html) ever crosses into
     Python (SURVEY.md §4 'never carry text along').
-    """
-    return df.select("url", "html").mapInArrow(
-        make_kernel(templates), OUTPUT_SCHEMA
-    )
+
+    Round 6: the kernel is the heaviest per-byte map stage in the repo
+    and runs at the SCAN's parallelism — a small corpus parquet is one
+    row group, serializing extraction on one of 32 cores (measured:
+    the sf1.0 bench corpus is a single 3.8 MB row group).  The
+    condition-gated respread round-robins the raw rows up to the
+    session parallelism when the scan is split-starved (a structural
+    no-op at corpus scale, where splits >> cores); the 1 MB floor keeps
+    truly tiny corpora on the scan layout.  Kernel output is per-row,
+    so results are byte-identical at any parallelism (the golden
+    identity tests pin this).  Streaming inputs keep their layout
+    (micro-batch DFs report no input files, so the floor returns them
+    unchanged)."""
+    pruned = df.select("url", "html")
+    if not pruned.isStreaming:
+        from doc_ocr_spark.operators import respread
+
+        pruned = respread(pruned, min_bytes=1 << 20)
+    return pruned.mapInArrow(make_kernel(templates), OUTPUT_SCHEMA)
