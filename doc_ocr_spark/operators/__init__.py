@@ -57,7 +57,12 @@ def respread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
                 _os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
             )
         except OSError:
-            size = min_bytes  # unknown source: fall through to the split test
+            # unknown-size source (remote URI the local stat cannot
+            # resolve): when a floor was requested, DON'T respread —
+            # falling through to the split test would land tiny remote
+            # inputs in exactly the measured-regression regime the
+            # floor exists to avoid (ADVICE r05)
+            return df
         if size < min_bytes:
             return df
     if df.rdd.getNumPartitions() < par:

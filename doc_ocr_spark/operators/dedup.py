@@ -863,8 +863,15 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("keeper"))
         .filter(F.col("df") >= 2)
     )
+    # Round 6 (guide §3.1): the planner's pre-AQE estimate broadcast the
+    # POSITIONS stream as the build side (measured at sf1.0: a 256 MiB
+    # broadcast of 2.37M rows every run, with span_stats — 20x smaller —
+    # as the probe).  The shuffle_hash hint pins the linear plan the
+    # docstring promises: both sides hash-partitioned by the uniform
+    # 44-bit key, stats as the per-partition build side; no O(corpus)
+    # relation is ever broadcast.
     covered = (
-        pos.join(span_stats, "s")
+        pos.join(span_stats.hint("shuffle_hash"), "s")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select(
             "doc_id",

@@ -176,12 +176,18 @@ def _open_stream(path: str):
         raw = filesystem.open_input_stream(p)
     else:
         raw = open(path, "rb")
-    if path.endswith(".gz"):
-        import io
+    import io
 
+    if path.endswith(".gz"):
         # BufferedReader gives C-level readline over the gzip stream —
         # measured +3.6% whole-job on the 60k-doc extraction A/B
         return io.BufferedReader(gzip.GzipFile(fileobj=raw), 1 << 20)
+    if not isinstance(raw, io.BufferedIOBase):
+        # pyarrow's NativeFile supports readinto but not readline
+        # (ADVICE r05: remote UNCOMPRESSED .warc crashed in
+        # _read_header_block); BufferedReader supplies readline for any
+        # raw stream
+        return io.BufferedReader(raw, 1 << 20)
     return raw
 
 
@@ -213,9 +219,14 @@ def read_warc(spark: SparkSession, input_dir: str) -> DataFrame:
     files = list_warc_files(spark, input_dir)
     if not files:
         return spark.createDataFrame([], PAGES_SCHEMA)
+    # range-partition on the (unique, sorted) path = exactly one file
+    # per task (ADVICE r05 / VERDICT item 2: hash-partitioning on path
+    # left ~1/e of tasks empty and stacked 2+ archives on others
+    # exactly when file count ~ core count; round-robin's randomized
+    # per-partition start offset stacks files too)
     fdf = spark.createDataFrame(
         [(f,) for f in files], "path string"
-    ).repartition(len(files), "path")
+    ).repartitionByRange(len(files), "path")
 
     def gen(batches):
         for pdf in batches:

@@ -62,12 +62,26 @@ def stage_root() -> str:
                 tempfile.gettempdir(), f"doc_ocr_spark_stage_{uid}"
             )
             os.makedirs(root, mode=0o700, exist_ok=True)
-            if hasattr(os, "getuid") and os.stat(root).st_uid != os.getuid():
+            # lstat + islink (ADVICE r05): os.stat follows symlinks, so
+            # a pre-planted link to a victim-owned writable directory
+            # passed the ownership check; and makedirs' mode only
+            # applies at creation, so re-chmod a pre-existing dir to
+            # 0o700 — the full tempfile.mkdtemp discipline.
+            if os.path.islink(root):
+                raise RuntimeError(
+                    f"staging fallback {root} is a symlink "
+                    "(pre-planted?); set SPARK_GRAFT_STAGE_DIR or "
+                    "XDG_CACHE_HOME to a directory you control"
+                )
+            st = os.lstat(root)
+            if hasattr(os, "getuid") and st.st_uid != os.getuid():
                 raise RuntimeError(
                     f"staging fallback {root} is owned by another user "
                     "(pre-planted?); set SPARK_GRAFT_STAGE_DIR or "
                     "XDG_CACHE_HOME to a directory you control"
                 )
+            if (st.st_mode & 0o777) != 0o700:
+                os.chmod(root, 0o700)
             return root
     os.makedirs(root, exist_ok=True)
     return root

@@ -234,3 +234,47 @@ def test_http_content_encoding_gzip_payload():
     # advertised but not actually gzipped -> raw bytes, no crash
     rec3 = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gz"
     assert http_payload(rec3) == b"not gz"
+
+
+def test_read_warc_one_file_per_task(spark, warc_dir):
+    """Round 6 (VERDICT r05 item 2): the file list is round-robined
+    from one partition, so every task holds EXACTLY one archive — the
+    hash-on-path form left ~1/e of tasks empty and stacked 2+ files on
+    others exactly when file count ~ core count."""
+    from pyspark.sql import functions as F
+
+    d, _ = warc_dir
+    from doc_ocr_spark.sources.warc import list_warc_files
+
+    files = list_warc_files(spark, d)
+    assert len(files) == 4
+    out = read_warc(spark, d)
+    assert out.rdd.getNumPartitions() == len(files)
+    per_part = (
+        out.select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    # every task holds exactly one archive -> every partition produces
+    # exactly that file's N_DOCS/4 pages, none empty, none doubled
+    assert len(per_part) == len(files)
+    assert sorted(r["count"] for r in per_part) == [N_DOCS // 4] * len(files)
+
+
+def test_open_stream_uncompressed_has_readline(tmp_path):
+    """ADVICE r05 (medium): _open_stream must return a readline-capable
+    stream for UNCOMPRESSED archives from any source — pyarrow
+    NativeFile lacks readline, so the non-gz branch wraps too."""
+    from doc_ocr_spark.datagen import generate_pages
+    from doc_ocr_spark.sources.warc import _open_stream, write_warc_files
+
+    pages = generate_pages(4, seed=1)
+    write_warc_files(pages, str(tmp_path), n_files=1, compress=False)
+    path = next(p for p in tmp_path.iterdir() if p.suffix == ".warc")
+
+    # pyarrow local filesystem URI exercises the NativeFile branch
+    with _open_stream("file://" + str(path)) as f:
+        assert hasattr(f, "readline")
+        got = list(iter_warc_pages(f))
+    assert len(got) == 4
