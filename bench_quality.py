@@ -18,7 +18,7 @@ not just wall time:
   shared by both sides so the comparison isolates the LSH banding.
 
 Usage: python bench_quality.py [sf_dir]  (default /root/testdata/sf0.1)
-Writes BENCH/quality_r05.json and prints one JSON line.
+Writes BENCH/quality_r06.json and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -224,7 +224,7 @@ def main() -> None:
     }
     spark.stop()
     try:
-        with open(os.path.join(REPO, "BENCH", "quality_r05.json"), "w") as f:
+        with open(os.path.join(REPO, "BENCH", "quality_r06.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass

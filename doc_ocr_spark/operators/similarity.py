@@ -835,47 +835,65 @@ def _band_bucket_col(b: int):
 # carry bit-exact dots.  Multi-band duplicates collapse in a DISTINCT
 # over the (deterministic) shortlist rows, exactly as the candidate
 # DISTINCT did.
-def _band_buckets_kernel(it):
-    """mapInPandas: (vec_id, embedding, nrm) -> one row per band with
-    the exact hyperplane bucket id (sign bits of scaled-long dots)."""
-    import numpy as np
-    import pandas as pd
+def _make_band_buckets_kernel(n_bands: int, n_planes: int, signs):
+    """mapInPandas factory: (vec_id, embedding, nrm) -> one row per band
+    with the exact hyperplane bucket id (sign bits of scaled-long
+    dots).  Band config is captured in the CLOSURE at DAG-build time —
+    worker processes re-import this module and would otherwise see the
+    env defaults, not a sweep's driver-side overrides (bench_quality
+    monkeypatches N_BANDS/_SIGNS)."""
 
-    sgn = np.asarray(_SIGNS, dtype=np.float64)
-    for pdf in it:
-        if len(pdf) == 0:
-            continue
-        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-        emb_col = pdf["embedding"].to_numpy()
-        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        bits = [
-            np.floor((E * sgn[j][None, :]) * _S).astype(np.int64).sum(axis=1) >= 0
-            for j in range(N_BANDS * N_PLANES)
-        ]
-        out = []
-        for b in range(N_BANDS):
-            bucket = np.zeros(len(E), np.int64)
-            for i in range(N_PLANES):
-                bucket += bits[b * N_PLANES + i].astype(np.int64) << i
-            out.append(
-                pd.DataFrame(
-                    {
-                        "band": np.full(len(E), b, np.int64),
-                        "bucket": bucket,
-                        "vec_id": vid,
-                        "embedding": emb_col,
-                        "nrm": nrm,
-                    }
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        sgn = np.asarray(signs, dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            emb_col = pdf["embedding"].to_numpy()
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            bits = [
+                np.floor((E * sgn[j][None, :]) * _S).astype(np.int64).sum(axis=1) >= 0
+                for j in range(n_bands * n_planes)
+            ]
+            out = []
+            for b in range(n_bands):
+                bucket = np.zeros(len(E), np.int64)
+                for i in range(n_planes):
+                    bucket += bits[b * n_planes + i].astype(np.int64) << i
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "band": np.full(len(E), b, np.int64),
+                            "bucket": bucket,
+                            "vec_id": vid,
+                            "embedding": emb_col,
+                            "nrm": nrm,
+                        }
+                    )
                 )
-            )
-        yield pd.concat(out, ignore_index=True)
+            yield pd.concat(out, ignore_index=True)
+
+    return kernel
 
 
-def _band_pair_kernel(key, grp):
-    """Per-(band, bucket) upper-triangle near-dup shortlist:
-    (qid, cid, dot, qn, cn) for pairs with approximate sim >=
-    DEDUP_TAU - _NN_MARGIN; ``dot`` is the exact scaled-long dot."""
+def _make_band_pair_kernel(tau: float, margin: float):
+    """applyInPandas factory (closure-captured knobs, see
+    _make_band_buckets_kernel): per-(band, bucket) upper-triangle
+    near-dup shortlist (qid, cid, dot, qn, cn) for pairs with
+    approximate sim >= tau - margin; ``dot`` is the exact scaled-long
+    dot."""
+
+    def kernel(key, grp):
+        return _band_pair_shortlist(grp, tau, margin)
+
+    return kernel
+
+
+def _band_pair_shortlist(grp, tau, margin):
     import numpy as np
     import pandas as pd
 
@@ -902,7 +920,7 @@ def _band_pair_kernel(key, grp):
         b1 = min(b0 + block, n)
         approx = (E[b0:b1] @ E.T) / nr[b0:b1, None] / nr[None, :]
         mask = (vid[b0:b1, None] < vid[None, :]) & (
-            approx >= DEDUP_TAU - _NN_MARGIN
+            approx >= tau - margin
         )
         qi, ci = np.nonzero(mask)
         if len(qi) == 0:
@@ -953,14 +971,14 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = respread(_emb_with_norms(spark, sf_dir), min_bytes=2 << 20)
     if N_BANDS > 1 and _os.environ.get("SPARK_GRAFT_EMBDD_IMPL", "kernel") == "kernel":
         withb = emb.select("vec_id", "embedding", "nrm").mapInPandas(
-            _band_buckets_kernel,
+            _make_band_buckets_kernel(N_BANDS, N_PLANES, _SIGNS),
             "band long, bucket long, vec_id long, "
             "embedding array<float>, nrm double",
         )
         shortlist = (
             withb.groupby("band", "bucket")
             .applyInPandas(
-                _band_pair_kernel,
+                _make_band_pair_kernel(DEDUP_TAU, _NN_MARGIN),
                 "qid long, cid long, dot long, qn double, cn double",
             )
             .distinct()
