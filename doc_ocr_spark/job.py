@@ -226,7 +226,9 @@ def run_extraction(
             n_buckets, "part_bucket", "skew_sub"
         )
 
-    extracted = apply_kernel(corpus, templates)
+    extracted = apply_kernel(
+        corpus, templates, respread_input=(exchange != "pre")
+    )
     # reattach the bucket for partitioned output (stable function of url,
     # so this is a projection, not a join)
     extracted = with_bucket(extracted, n_buckets)

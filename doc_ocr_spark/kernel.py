@@ -121,7 +121,11 @@ def make_kernel(templates: list[dict] | None):
     return extract_batches
 
 
-def apply_kernel(df: DataFrame, templates: list[dict] | None = None) -> DataFrame:
+def apply_kernel(
+    df: DataFrame,
+    templates: list[dict] | None = None,
+    respread_input: bool = True,
+) -> DataFrame:
     """``(url, html, ...) -> OUTPUT_SCHEMA`` via mapInArrow.
 
     Column pruning is explicit: only (url, html) ever crosses into
@@ -138,9 +142,15 @@ def apply_kernel(df: DataFrame, templates: list[dict] | None = None) -> DataFram
     so results are byte-identical at any parallelism (the golden
     identity tests pin this).  Streaming inputs keep their layout
     (micro-batch DFs report no input files, so the floor returns them
-    unchanged)."""
+    unchanged).
+
+    ``respread_input=False`` is for callers that already placed their
+    own exchange below the kernel (job.py --exchange pre: the salted
+    bucket repartition must not be followed by a round-robin scatter,
+    which would undo the bucket alignment the writer relies on).
+    """
     pruned = df.select("url", "html")
-    if not pruned.isStreaming:
+    if respread_input and not pruned.isStreaming:
         from doc_ocr_spark.operators import respread
 
         pruned = respread(pruned, min_bytes=1 << 20)
