@@ -434,3 +434,40 @@ def test_span_removal_keeper_verbatim_loser_excised(spark, tmp_path):
     # removal is an idempotent-ish guarantee on counts
     for i in range(4):
         assert got[i].n_words == len(texts[i].split(" "))
+
+
+def test_nn_kernel_matches_jvm_pair_join(spark, monkeypatch):
+    """Round 6: the cogrouped NumPy shortlist path must produce EXACTLY
+    the rows of the JVM pair-join path (the dots are bit-exact and the
+    margin shortlist always contains the argmax, so the two
+    formulations are the same function)."""
+    import doc_ocr_spark.operators.similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(S, "_NN_IMPL", "cogroup")
+    kernel_rows = sorted(
+        map(tuple, S.ann_nn_within_bucket(spark, sf).collect())
+    )
+    monkeypatch.setattr(S, "_NN_IMPL", "jvm")
+    jvm_rows = sorted(map(tuple, S.ann_nn_within_bucket(spark, sf).collect()))
+    assert kernel_rows == jvm_rows
+    assert len(kernel_rows) > 0
+
+
+def test_embdd_kernel_matches_jvm_single_pass(spark, monkeypatch):
+    """Round 6: the (band, bucket) NumPy kernel path of
+    embedding_cosine_dedup must produce EXACTLY the pairs of the JVM
+    single-pass posexplode path (bucket bits and dots are bit-exact;
+    the tau-margin shortlist can only add pairs the JVM filter also
+    rejects)."""
+    import doc_ocr_spark.operators.similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_EMBDD_IMPL", raising=False)
+    kernel_rows = sorted(
+        map(tuple, S.embedding_cosine_dedup(spark, sf).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_EMBDD_IMPL", "jvm")
+    jvm_rows = sorted(map(tuple, S.embedding_cosine_dedup(spark, sf).collect()))
+    assert kernel_rows == jvm_rows
+    assert len(kernel_rows) > 0
